@@ -1,0 +1,131 @@
+"""Camera projection / ray geometry ops (pure jnp, shape-polymorphic).
+
+Functional equivalents of the geometry math scattered through the reference's
+models/modules/projector.py, volume.py and matching_field.py, expressed once
+and reused.  All cameras follow the reference's convention:
+
+  * ``intr``: (4, 4) pinhole intrinsics (top-left 3x3 = K)
+  * ``c2w``:  (4, 4) camera-to-world pose
+  * world points live in the unit-sphere-normalized scene frame
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def to_homo(pts):
+    """(..., 3) -> (..., 4) homogeneous."""
+    return jnp.concatenate([pts, jnp.ones_like(pts[..., :1])], axis=-1)
+
+
+def world_to_cam(pts, c2w):
+    """pts (..., 3), c2w (4,4) -> camera-frame points (..., 3)."""
+    w2c = jnp.linalg.inv(c2w)
+    return jnp.einsum("ij,...j->...i", w2c[:3, :4], to_homo(pts))
+
+
+def cam_to_pixel(cam_pts, intr):
+    """cam_pts (..., 3) -> (xy (..., 2), depth (...,))."""
+    proj = jnp.einsum("ij,...j->...i", intr[:3, :3], cam_pts)
+    depth = proj[..., 2]
+    xy = proj[..., :2] / (depth[..., None] + 1e-10)
+    return xy, depth
+
+
+def project_points(pts, intr, c2w):
+    """World points -> pixel xy + camera depth.
+
+    Equivalent to the projection blocks at volume.py:68-79 and
+    projector.py:529-536.
+    Returns (xy (..., 2), depth (...,)).
+    """
+    return cam_to_pixel(world_to_cam(pts, c2w), intr)
+
+
+def pixel_to_normalized(xy, hw, *, align_corners=True):
+    """Pixel xy -> [-1, 1] normalized coords for grid sampling.
+
+    Matches the reference's ``norm_x = x / ((w-1)/2) - 1`` convention
+    (volume.py:73-74), i.e. align_corners=True normalization.
+    """
+    h, w = hw
+    if align_corners:
+        nx = xy[..., 0] / ((w - 1) / 2.0) - 1.0
+        ny = xy[..., 1] / ((h - 1) / 2.0) - 1.0
+    else:
+        nx = (2.0 * xy[..., 0] + 1.0) / w - 1.0
+        ny = (2.0 * xy[..., 1] + 1.0) / h - 1.0
+    return jnp.stack([nx, ny], axis=-1)
+
+
+def in_frustum_mask(xy, depth, hw, *, inclusive=True):
+    """Whether pixel-xy falls inside the image and in front of the camera.
+
+    Matches volume.py:78 (abs(norm)<=1 & depth>0) when ``inclusive``; matches
+    projector.py:536 half-open bounds (0 <= x < w) otherwise.
+    """
+    h, w = hw
+    x = xy[..., 0]
+    y = xy[..., 1]
+    if inclusive:
+        return (jnp.abs(x / ((w - 1) / 2.0) - 1.0) <= 1.0) & \
+               (jnp.abs(y / ((h - 1) / 2.0) - 1.0) <= 1.0) & (depth > 0)
+    return (x >= 0) & (x < w) & (y >= 0) & (y < h) & (depth > 0)
+
+
+def pixels_to_rays(pixels_xy, intr, c2w):
+    """Pixel coordinates -> normalized world ray directions + origin.
+
+    Matches dtu.py:428-432 / matching_field.py:97-101: p = K^-1 [x,y,1],
+    d = p/|p| rotated to world, o = camera center.
+    Returns (rays_o (..., 3), rays_d (..., 3)).
+    """
+    p = to_homo(pixels_xy)  # (..., 3) with z=1
+    cam_dirs = jnp.einsum("ij,...j->...i", jnp.linalg.inv(intr[:3, :3]), p)
+    cam_dirs = cam_dirs / jnp.linalg.norm(cam_dirs, axis=-1, keepdims=True)
+    rays_d = jnp.einsum("ij,...j->...i", c2w[:3, :3], cam_dirs)
+    rays_o = jnp.broadcast_to(c2w[:3, 3], rays_d.shape)
+    return rays_o, rays_d
+
+
+def ray_z_cos(rays_d, c2w):
+    """cos factor converting a z-val along a *normalized* ray into camera
+    depth: depth = z_val * (R^-1 d)_z  (matching_field.py:52-55)."""
+    cam_d = jnp.einsum("ij,...j->...i", jnp.linalg.inv(c2w[:3, :3]), rays_d)
+    return cam_d[..., 2]
+
+
+def compute_ray_diff(pts, ref_c2w, src_c2ws):
+    """IBRNet-style ray direction difference features.
+
+    Re-derivation of the reference's ``compute_angle`` (projector.py:485-498).
+    pts: (n, 3); ref_c2w (4,4); src_c2ws (s, 4, 4).
+    Returns (n, s, 4): unit direction difference (3) + dot product (1).
+    """
+    ray2ref = ref_c2w[:3, 3][None, None] - pts[:, None, :]       # (n, 1, 3)
+    ray2ref = ray2ref / (jnp.linalg.norm(ray2ref, axis=-1, keepdims=True) + 1e-6)
+    ray2src = src_c2ws[None, :, :3, 3] - pts[:, None, :]          # (n, s, 3)
+    ray2src = ray2src / (jnp.linalg.norm(ray2src, axis=-1, keepdims=True) + 1e-6)
+    diff = ray2ref - ray2src
+    diff_norm = jnp.linalg.norm(diff, axis=-1, keepdims=True)
+    dot = jnp.sum(ray2ref * ray2src, axis=-1, keepdims=True)
+    direction = diff / jnp.clip(diff_norm, 1e-6)
+    return jnp.concatenate([direction, dot], axis=-1)
+
+
+def make_pixel_grid(hw, out_hw=None, dtype=jnp.float32):
+    """Full-resolution pixel center grid, optionally strided to ``out_hw``
+    via linspace over the original extent (matching matching_field.py:84-88
+    and dtu.py:419-421).
+
+    Returns (out_h*out_w, 2) pixel (x, y) coordinates.
+    """
+    h, w = hw
+    if out_hw is None:
+        out_hw = hw
+    oh, ow = out_hw
+    tx = jnp.linspace(0.0, w - 1.0, ow, dtype=dtype)
+    ty = jnp.linspace(0.0, h - 1.0, oh, dtype=dtype)
+    xx, yy = jnp.meshgrid(tx, ty, indexing="xy")
+    return jnp.stack([xx.reshape(-1), yy.reshape(-1)], axis=-1)

@@ -1,0 +1,115 @@
+"""Golden tests for sampling ops against torch.nn.functional.grid_sample
+(torch CPU is available in the image; used for testing only)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+import torch.nn.functional as TF
+
+from surf_tpu.ops import (
+    bilinear_sample_2d,
+    nearest_sample_3d,
+    trilinear_sample_3d,
+    resize_bilinear_2d,
+    upsample_trilinear_x2,
+)
+
+RNG = np.random.RandomState(0)
+
+
+@pytest.mark.parametrize("align_corners", [True, False])
+def test_bilinear_2d_matches_torch(align_corners):
+    H, W, C = 13, 17, 5
+    img = RNG.randn(H, W, C).astype(np.float32)
+    coords = RNG.uniform(-1.3, 1.3, size=(40, 2)).astype(np.float32)
+
+    ours = bilinear_sample_2d(jnp.asarray(img), jnp.asarray(coords), align_corners=align_corners)
+
+    t_img = torch.from_numpy(img).permute(2, 0, 1)[None]            # (1,C,H,W)
+    t_grid = torch.from_numpy(coords)[None, None]                   # (1,1,40,2)
+    ref = TF.grid_sample(t_img, t_grid, mode="bilinear", padding_mode="zeros",
+                         align_corners=align_corners)
+    ref = ref[0, :, 0].permute(1, 0).numpy()                        # (40,C)
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5)
+
+
+@pytest.mark.parametrize("align_corners", [True, False])
+def test_trilinear_3d_matches_torch(align_corners):
+    X, Y, Z, C = 9, 11, 7, 4
+    vol = RNG.randn(X, Y, Z, C).astype(np.float32)
+    pts = RNG.uniform(-1.2, 1.2, size=(50, 3)).astype(np.float32)
+
+    ours = trilinear_sample_3d(jnp.asarray(vol), jnp.asarray(pts), align_corners=align_corners)
+
+    # torch layout: (1, C, D, H, W) with grid (x,y,z) indexing (W,H,D).
+    # Our (X,Y,Z,C) with pts (x,y,z) indexing (X,Y,Z) == torch volume
+    # permuted so D=X,H=Y,W=Z and grid flipped to (z,y,x) — exactly the
+    # reference's flip at projector.py:398.
+    t_vol = torch.from_numpy(vol).permute(3, 0, 1, 2)[None]          # (1,C,X,Y,Z)
+    t_grid = torch.from_numpy(pts[:, ::-1].copy())[None, None, None]  # (1,1,1,50,3) z,y,x
+    ref = TF.grid_sample(t_vol, t_grid, mode="bilinear", padding_mode="zeros",
+                         align_corners=align_corners)
+    ref = ref[0, :, 0, 0].permute(1, 0).numpy()
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5)
+
+
+def test_nearest_3d_matches_torch():
+    X, Y, Z, C = 8, 8, 8, 2
+    vol = RNG.randn(X, Y, Z, C).astype(np.float32)
+    # keep away from .5 boundaries where rounding conventions differ
+    pts = (RNG.uniform(-0.9, 0.9, size=(30, 3)) + 0.013).astype(np.float32)
+
+    ours = nearest_sample_3d(jnp.asarray(vol), jnp.asarray(pts), align_corners=False)
+    t_vol = torch.from_numpy(vol).permute(3, 0, 1, 2)[None]
+    t_grid = torch.from_numpy(pts[:, ::-1].copy())[None, None, None]
+    ref = TF.grid_sample(t_vol, t_grid, mode="nearest", padding_mode="zeros",
+                         align_corners=False)
+    ref = ref[0, :, 0, 0].permute(1, 0).numpy()
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-6)
+
+
+def test_trilinear_twice_differentiable():
+    """The capability the reference needed 722 lines of CUDA for
+    (grid_sample_cuda): second-order gradients through volume lookups."""
+    X = 6
+    vol = jnp.asarray(RNG.randn(X, X, X, 1).astype(np.float32))
+
+    def f(p):
+        return trilinear_sample_3d(vol, p[None], align_corners=True)[0, 0]
+
+    p0 = jnp.array([0.1, -0.2, 0.3])
+    g = jax.grad(f)(p0)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+    # eikonal-style: differentiate |grad| w.r.t. the volume
+    def eik(v):
+        def f2(p):
+            return trilinear_sample_3d(v, p[None], align_corners=True)[0, 0]
+        gg = jax.grad(f2)(p0)
+        return jnp.sum(gg ** 2)
+
+    dvol = jax.grad(eik)(vol)
+    assert np.all(np.isfinite(np.asarray(dvol)))
+    assert np.abs(np.asarray(dvol)).sum() > 0
+
+
+def test_resize_bilinear_matches_torch():
+    H, W, C = 10, 14, 3
+    img = RNG.randn(H, W, C).astype(np.float32)
+    out = resize_bilinear_2d(jnp.asarray(img), (19, 27), align_corners=False)
+    t = TF.interpolate(torch.from_numpy(img).permute(2, 0, 1)[None], size=(19, 27),
+                       mode="bilinear", align_corners=False)
+    ref = t[0].permute(1, 2, 0).numpy()
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+def test_upsample_trilinear_x2_matches_torch():
+    X, Y, Z, C = 5, 6, 4, 2
+    vol = RNG.randn(X, Y, Z, C).astype(np.float32)
+    out = upsample_trilinear_x2(jnp.asarray(vol))
+    t = TF.interpolate(torch.from_numpy(vol).permute(3, 0, 1, 2)[None], scale_factor=2,
+                       mode="trilinear", align_corners=False)
+    ref = t[0].permute(1, 2, 3, 0).numpy()
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
