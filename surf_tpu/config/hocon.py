@@ -232,6 +232,18 @@ def _parse_list(text: str):
 
 _KEY_RE = re.compile(r"^\s*([A-Za-z0-9_\-.\"']+)\s*([:={[]|\{)?")
 
+_INLINE_KEY_RE = re.compile(r"([A-Za-z0-9_\-.]+)\s*[:=]")
+
+
+def _split_inline_pairs(body: str):
+    """Split 'a = 1  b = [1, 2]' into [('a','1'), ('b','[1, 2]')]."""
+    matches = list(_INLINE_KEY_RE.finditer(body))
+    pairs = []
+    for i, m in enumerate(matches):
+        end = matches[i + 1].start() if i + 1 < len(matches) else len(body)
+        pairs.append((m.group(1), body[m.end():end].strip().rstrip(",")))
+    return pairs
+
 
 def parse_string(content: str) -> ConfigTree:
     # Normalize: join lists that span multiple lines by tracking bracket depth.
@@ -277,13 +289,11 @@ def parse_string(content: str) -> ConfigTree:
             stack.append(sub)
             inner = rest[1:].strip()
             if inner.endswith("}") and inner.count("{") == 0:
-                # one-line object 'k { a = 1 }' unsupported beyond empty
+                # one-line object: 'k { a = 1  b = [1, 2] }'
                 inner_body = inner[:-1].strip()
                 if inner_body:
-                    for part in inner_body.split(","):
-                        km = part.split("=", 1)
-                        if len(km) == 2:
-                            dict.__setitem__(sub, km[0].strip(), _parse_value(km[1]))
+                    for kk, vv in _split_inline_pairs(inner_body):
+                        dict.__setitem__(sub, kk, _parse_value(vv))
                 stack.pop()
             continue
         # plain value (may end with '}' closing parent on same line — rare)

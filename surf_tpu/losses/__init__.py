@@ -1,0 +1,6 @@
+from .loss import compute_loss, make_loss_config
+from .ncc import compute_lncc
+from .photometric import compute_ptloss, ssim_loss_map
+
+__all__ = ["compute_loss", "make_loss_config", "compute_lncc",
+           "compute_ptloss", "ssim_loss_map"]

@@ -1,0 +1,264 @@
+"""Functional NN building blocks: every layer is an ``init(key, ...)`` that
+returns a param pytree plus a pure ``apply``.  This is the module system the
+whole framework is built on (no flax/haiku indirection so that weight-norm
+folding, geometric init and torch-checkpoint conversion stay fully explicit).
+
+Layouts are TPU-native: activations channel-last (N, H, W, C) / (X, Y, Z, C),
+dense weights (in, out), conv kernels (kh, kw, c_in, c_out) — XLA's preferred
+arrangements for the MXU.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# initializers
+# ---------------------------------------------------------------------------
+
+def kaiming_normal(key, shape, fan_in, dtype=jnp.float32):
+    """He-normal (matches torch kaiming_normal_ default: fan_in, relu gain)."""
+    std = math.sqrt(2.0 / fan_in)
+    return jax.random.normal(key, shape, dtype) * std
+
+
+def kaiming_uniform_torch(key, shape, fan_in, dtype=jnp.float32):
+    """torch's default Linear/Conv init (kaiming_uniform with a=sqrt(5)),
+    kept for initialization parity with the reference."""
+    gain = math.sqrt(2.0 / (1 + 5.0))
+    bound = gain * math.sqrt(3.0 / fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def bias_uniform_torch(key, shape, fan_in, dtype=jnp.float32):
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+# ---------------------------------------------------------------------------
+# activations
+# ---------------------------------------------------------------------------
+
+def elu(x):
+    return jax.nn.elu(x)
+
+
+def relu(x):
+    return jax.nn.relu(x)
+
+
+def softplus_beta(x, beta=100.0, threshold=20.0):
+    """torch.nn.Softplus(beta): (1/beta) log(1+exp(beta x)), linear above
+    threshold/beta (numerical guard identical to torch)."""
+    scaled = x * beta
+    return jnp.where(scaled > threshold, x, jax.nn.softplus(scaled) / beta)
+
+
+# ---------------------------------------------------------------------------
+# linear (+ optional weight norm)
+# ---------------------------------------------------------------------------
+
+def linear_init(key, d_in, d_out, *, bias=True, weight_norm=False,
+                w_init=None, b_init=None, dtype=jnp.float32):
+    kw, kb = jax.random.split(key)
+    if w_init is None:
+        w = kaiming_uniform_torch(kw, (d_in, d_out), d_in, dtype)
+    else:
+        w = w_init(kw, (d_in, d_out))
+    p = {}
+    if weight_norm:
+        # torch weight_norm(dim=0) on a (out,in) weight: one gain per output.
+        # our layout (in,out): norm over axis 0.
+        g = jnp.linalg.norm(w, axis=0)
+        p["v"] = w
+        p["g"] = g
+    else:
+        p["w"] = w
+    if bias:
+        if b_init is None:
+            p["b"] = bias_uniform_torch(kb, (d_out,), d_in, dtype)
+        else:
+            p["b"] = b_init(kb, (d_out,))
+    return p
+
+
+def linear_apply(p, x):
+    if "v" in p:
+        v = p["v"]
+        w = v * (p["g"] / (jnp.linalg.norm(v, axis=0) + 1e-12))[None, :]
+    else:
+        w = p["w"]
+    y = x @ w
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+def mlp_init(key, dims, **kw):
+    keys = jax.random.split(key, len(dims) - 1)
+    return [linear_init(k, dims[i], dims[i + 1], **kw) for i, k in enumerate(keys)]
+
+
+def mlp_apply(layers, x, act=elu, final_act=None):
+    for i, p in enumerate(layers):
+        x = linear_apply(p, x)
+        if i < len(layers) - 1:
+            x = act(x)
+        elif final_act is not None:
+            x = final_act(x)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# 2D convs (channel-last)
+# ---------------------------------------------------------------------------
+
+def conv2d_init(key, c_in, c_out, k, *, bias=True, dtype=jnp.float32):
+    kw, kb = jax.random.split(key)
+    fan_in = c_in * k * k
+    p = {"w": kaiming_uniform_torch(kw, (k, k, c_in, c_out), fan_in, dtype)}
+    if bias:
+        p["b"] = bias_uniform_torch(kb, (c_out,), fan_in, dtype)
+    return p
+
+
+def conv2d_apply(p, x, *, stride=1, padding=None):
+    """x: (N, H, W, C). padding defaults to torch's (k-1)//2 'same-ish'."""
+    k = p["w"].shape[0]
+    if padding is None:
+        pad = (k - 1) // 2
+        padding = [(pad, pad), (pad, pad)]
+    y = jax.lax.conv_general_dilated(
+        x, p["w"], window_strides=(stride, stride), padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+def conv2d_transpose_init(key, c_in, c_out, k, *, bias=True, dtype=jnp.float32):
+    kw, kb = jax.random.split(key)
+    fan_in = c_in * k * k  # torch ConvTranspose uses c_out*k*k for fan; close enough for our init
+    p = {"w": kaiming_uniform_torch(kw, (k, k, c_in, c_out), fan_in, dtype)}
+    if bias:
+        p["b"] = bias_uniform_torch(kb, (c_out,), fan_in, dtype)
+    return p
+
+
+def conv2d_transpose_apply(p, x, *, stride=2, padding=1, output_padding=1):
+    """Matches torch ConvTranspose2d(k, stride, padding, output_padding).
+
+    Implemented as a fractionally-strided convolution: dilate the input by
+    ``stride``, pad by (k-1-padding) low / (k-1-padding+output_padding) high,
+    and convolve with the spatially flipped kernel.
+    """
+    k = p["w"].shape[0]
+    lo = k - 1 - padding
+    hi = k - 1 - padding + output_padding
+    w = jnp.flip(p["w"], axis=(0, 1))
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding=[(lo, hi), (lo, hi)],
+        lhs_dilation=(stride, stride),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+def instance_norm_2d(x, eps=1e-5):
+    """torch InstanceNorm2d(affine=False): normalize each (n, c) plane over
+    H, W using biased variance."""
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+    var = jnp.var(x, axis=(1, 2), keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps)
+
+
+# ---------------------------------------------------------------------------
+# 3D convs (channel-last volumes)
+# ---------------------------------------------------------------------------
+
+def conv3d_init(key, c_in, c_out, k, *, bias=False, dtype=jnp.float32):
+    kw, kb = jax.random.split(key)
+    fan_in = c_in * k ** 3
+    p = {"w": kaiming_uniform_torch(kw, (k, k, k, c_in, c_out), fan_in, dtype)}
+    if bias:
+        p["b"] = bias_uniform_torch(kb, (c_out,), fan_in, dtype)
+    return p
+
+
+def conv3d_apply(p, x, *, stride=1, padding=None):
+    """x: (N, X, Y, Z, C)."""
+    k = p["w"].shape[0]
+    if padding is None:
+        pad = (k - 1) // 2
+        padding = [(pad, pad)] * 3
+    y = jax.lax.conv_general_dilated(
+        x, p["w"], window_strides=(stride,) * 3, padding=padding,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+def conv3d_transpose_apply(p, x, *, stride=2, padding=None, output_padding=None):
+    """Transposed 3D conv matching torchsparse's stride-2 deconv geometry:
+    output size = input*2 (k=3, implicit padding=1, output_padding=1)."""
+    k = p["w"].shape[0]
+    if padding is None:
+        padding = (k - 1) // 2
+    if output_padding is None:
+        output_padding = stride - 1
+    lo = k - 1 - padding
+    hi = k - 1 - padding + output_padding
+    w = jnp.flip(p["w"], axis=(0, 1, 2))
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1, 1), padding=[(lo, hi)] * 3,
+        lhs_dilation=(stride,) * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+# ---------------------------------------------------------------------------
+# batch norm over a masked point set (torchsparse BatchNorm equivalent)
+# ---------------------------------------------------------------------------
+
+def batch_norm_init(c, dtype=jnp.float32):
+    return (
+        {"scale": jnp.ones((c,), dtype), "bias": jnp.zeros((c,), dtype)},
+        {"mean": jnp.zeros((c,), dtype), "var": jnp.ones((c,), dtype)},
+    )
+
+
+def masked_batch_norm_apply(params, state, x, mask, *, training, momentum=0.1, eps=1e-5):
+    """BatchNorm1d over the *active* rows of a capacity-padded point set.
+
+    x: (..., C); mask: broadcastable to x[..., 0].  In training mode the
+    statistics are computed over active rows only (matching torchsparse's
+    BatchNorm over the sparse active set); running stats are updated with
+    torch's momentum convention (new = (1-m)*old + m*batch).
+    Returns (y, new_state).
+    """
+    m = mask.astype(x.dtype)[..., None]
+    if training:
+        denom = jnp.maximum(jnp.sum(m), 1.0)
+        mean = jnp.sum(x * m, axis=tuple(range(x.ndim - 1))) / denom
+        var = jnp.sum(((x - mean) ** 2) * m, axis=tuple(range(x.ndim - 1))) / denom
+        n = denom
+        unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
+        new_state = {
+            "mean": (1 - momentum) * state["mean"] + momentum * mean,
+            "var": (1 - momentum) * state["var"] + momentum * unbiased,
+        }
+    else:
+        mean, var = state["mean"], state["var"]
+        new_state = state
+    y = (x - mean) * jax.lax.rsqrt(var + eps) * params["scale"] + params["bias"]
+    return y * m, new_state

@@ -1,0 +1,142 @@
+"""Matching field: per-view depth maps rendered from the 1-channel density
+volume, driving the end-to-end sparsification cascade.
+
+Functional re-design of models/modules/matching_field.py:8-141:
+
+  * per view, a ray grid at ``img_hw / depth_res_levels[stage]``;
+  * per ray, ``n_samples_depths[stage]`` z-vals uniformly in the current
+    stage's band **and** the previous stage's band centered on the previous
+    depth (clamped/shifted to the original near/far), merged and sorted;
+  * density = trilinear lookup of the matching volume; depth = softmax
+    expectation of z, converted to camera depth via the ray-z cosine;
+  * an occupancy regularizer penalizing density near the camera and outside
+    the unit sphere;
+  * gradients flow only through the reference view and the sampled source
+    view (matching_field.py:129-133) — realized with a differentiable
+    ``where(keep, x, stop_gradient(x))`` gate so the view loop stays static
+    under jit even though ``src_idx`` is a traced value;
+  * depths bilinearly upsampled to full image resolution.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import (
+    trilinear_sample_3d, resize_bilinear_2d, make_pixel_grid, pixels_to_rays,
+    ray_z_cos,
+)
+
+
+def _band_from_depth(pre_z_val, stage_range, near_ori, far_ori):
+    """Band [z - r/2, z + r/2] shifted/clamped into [near_ori, far_ori]
+    (matching_field.py:108-113)."""
+    near = pre_z_val - stage_range / 2.0
+    far = pre_z_val + stage_range / 2.0
+    near = jnp.where(far > far_ori, near - (far - far_ori), near)
+    far = jnp.where(near < near_ori, far + (near_ori - near), far)
+    near = jnp.clip(near, near_ori, far_ori)
+    far = jnp.clip(far, near_ori, far_ori)
+    return near, far
+
+
+def depth_render(key, rays_o, rays_d, near, far, c2w, matching_volume,
+                 n_samples: int, *, perturb: bool, perturb_gate=None):
+    """near/far: (nr, k) — one column per sampling band.
+
+    ``perturb_gate`` (traced bool) zeroes the jitter for views the reference
+    renders unperturbed (matching_field.py:133 passes perturb=False for
+    non-ref/src views).
+    Returns (render_depth (nr,), occ_reg scalar).
+    """
+    nr, k = near.shape
+    lin = jnp.linspace(0.0, 1.0, n_samples)
+    z = near[..., None] + (far - near)[..., None] * lin  # (nr, k, n)
+    if perturb:
+        t_rand = jax.random.uniform(key, (nr, 1)) - 0.5
+        if perturb_gate is not None:
+            t_rand = t_rand * perturb_gate.astype(t_rand.dtype)
+        z = z + (t_rand[..., None] * (far - near)[:, :, None]) / n_samples
+    z_vals = jnp.sort(z.reshape(nr, k * n_samples), axis=-1)
+
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+    pts_norm = jnp.linalg.norm(pts, axis=-1)
+    outside_sphere = jax.lax.stop_gradient((pts_norm > 1.0).astype(jnp.float32))
+
+    # reference samples the density volume through F.grid_sample defaults
+    # (align_corners=False), matching_field.py:48 -> projector.py:406
+    density = trilinear_sample_3d(matching_volume, pts, align_corners=False)[..., 0]
+    weights = jax.nn.softmax(density, axis=-1)
+
+    cos = ray_z_cos(rays_d, c2w)
+    render_z = jnp.sum(z_vals * weights, axis=-1)
+    render_depth = render_z * cos
+
+    occ_reg = jnp.mean(density[:, :6]) + \
+        jnp.sum(density * outside_sphere) / (jnp.sum(outside_sphere) + 1e-10)
+    return render_depth, occ_reg
+
+
+def apply(key, conf_static, ipts, matching_volume, stage_idx, range_ratios,
+          pre_depths=None, *, perturb=False):
+    """Render per-view depth maps at the stage's resolution level.
+
+    conf_static: dict with n_samples_depths / depth_res_levels lists.
+    ipts: dict with imgs (nv,H,W,3), intrs (nv,4,4), c2ws (nv,4,4),
+      near_fars (nv,2), and optionally src_idx (traced int).
+    Returns (depths (nv, H, W), occ_regs (nv,)).
+    """
+    intrs = ipts["intrs"]
+    c2ws = ipts["c2ws"]
+    near_fars = ipts["near_fars"]
+    src_idx = ipts.get("src_idx", 0)
+    img_h, img_w = ipts["imgs"].shape[1:3]
+
+    level = conf_static["depth_res_levels"][stage_idx]
+    n_samples = conf_static["n_samples_depths"][stage_idx]
+    h, w = img_h // level, img_w // level
+    pixels = make_pixel_grid((img_h, img_w), (h, w))  # (h*w, 2)
+
+    nv = intrs.shape[0]
+    keys = jax.random.split(key, nv)
+    depths = []
+    occ_regs = []
+    for i in range(nv):
+        rays_o, rays_d = pixels_to_rays(pixels, intrs[i], c2ws[i])
+        near_ori = near_fars[i, 0]
+        far_ori = near_fars[i, 1]
+        if pre_depths is not None:
+            pre = jax.lax.stop_gradient(pre_depths[i])
+            px = jnp.floor(pixels[:, 0]).astype(jnp.int32)
+            py = jnp.floor(pixels[:, 1]).astype(jnp.int32)
+            pre_depth = pre[py, px]
+            cos = ray_z_cos(rays_d, c2ws[i])
+            pre_z = pre_depth / cos
+            base_range = far_ori - near_ori
+            near_s, far_s = _band_from_depth(
+                pre_z, base_range * range_ratios[stage_idx], near_ori, far_ori)
+            near_p, far_p = _band_from_depth(
+                pre_z, base_range * range_ratios[stage_idx - 1], near_ori, far_ori)
+            near = jnp.stack([near_s, near_p], axis=-1)
+            far = jnp.stack([far_s, far_p], axis=-1)
+        else:
+            near = jnp.full((rays_o.shape[0], 1), near_ori)
+            far = jnp.full((rays_o.shape[0], 1), far_ori)
+
+        keep_grad = jnp.logical_or(jnp.asarray(i == 0), jnp.asarray(src_idx) == i)
+        d, occ = depth_render(keys[i], rays_o, rays_d, near, far, c2ws[i],
+                              matching_volume, n_samples,
+                              perturb=perturb, perturb_gate=keep_grad)
+        # gradient gate: identity where grads are kept, stop_gradient
+        # elsewhere — differentiable masking replacing the reference's
+        # no_grad branch (matching_field.py:129-133)
+        d = jnp.where(keep_grad, d, jax.lax.stop_gradient(d))
+        occ = jnp.where(keep_grad, occ, jax.lax.stop_gradient(occ))
+
+        d = d.reshape(h, w)
+        if level != 1:
+            d = resize_bilinear_2d(d[..., None], (img_h, img_w))[..., 0]
+        depths.append(d)
+        occ_regs.append(occ)
+    return jnp.stack(depths), jnp.stack(occ_regs)

@@ -1,0 +1,320 @@
+"""Sparse 3D cost-regularization U-Net (per cascade stage).
+
+Functional re-design of the reference's torchsparse network
+(models/modules/reg_network.py:38-107): conv0 -> three stride-2 encoder
+levels (d_base * {1,2,4,8}) -> three transposed-conv decoder levels with
+additive skips -> bias-free linear head.  Returns ``(out, mid)`` where
+``out[..., :1]`` feeds the matching field and ``out[..., 1:]`` the feature
+volume, and ``mid`` seeds the next stage's upsampled features (surf.py:115).
+
+Two execution paths with identical semantics (tested against each other):
+
+  * **dense**: densify the active set into a (R, R, R, C) volume and run
+    XLA convolutions with per-level activity masks.  Masking after every
+    block + masked batch-norm statistics makes this *exactly* submanifold:
+    absent neighbors contribute zero and stats cover active voxels only.
+    Used for coarse stages (R <= dense_max_res) where dense volumes are
+    small — these map straight onto the MXU.
+  * **hybrid**: at fine resolutions (352^3 / 704^3) the two finest U-Net
+    levels run as gather/scatter convolutions over the capacity-padded
+    voxel lists (27 neighbor gathers + channel matmuls, resolved through
+    the VoxelGrid parent table); levels at R/4 and below densify.
+
+All level geometry follows torchsparse's convention: a stride-2 conv's
+output set is ``unique(coords // 2)`` and its transposed counterpart maps
+back to the exact pre-downsample set.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .core import (
+    conv3d_init, conv3d_apply, conv3d_transpose_apply,
+    batch_norm_init, masked_batch_norm_apply, relu,
+)
+from ..ops import sparse as sp
+
+_OFFSETS = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)]
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def _block_init(key, c_in, c_out):
+    p = {"conv": conv3d_init(key, c_in, c_out, 3, bias=False)}
+    bn_p, bn_s = batch_norm_init(c_out)
+    p["bn"] = bn_p
+    return p, {"bn": bn_s}
+
+
+def init(key, d_in: int, d_out: int = 8, d_base: int = 8):
+    names_specs = [
+        ("conv0", d_in, d_base),
+        ("conv1", d_base, d_base * 2), ("conv2", d_base * 2, d_base * 2),
+        ("conv3", d_base * 2, d_base * 4), ("conv4", d_base * 4, d_base * 4),
+        ("conv5", d_base * 4, d_base * 8), ("conv6", d_base * 8, d_base * 8),
+        ("conv7", d_base * 8, d_base * 4),
+        ("conv9", d_base * 4, d_base * 2),
+        ("conv11", d_base * 2, d_base),
+    ]
+    keys = jax.random.split(key, len(names_specs) + 1)
+    params, state = {}, {}
+    for k, (name, ci, co) in zip(keys[:-1], names_specs):
+        params[name], state[name] = _block_init(k, ci, co)
+    params["out_lin"] = {
+        "w": jax.random.normal(keys[-1], (d_base, d_out)) * (1.0 / jnp.sqrt(d_base))}
+    return params, state
+
+
+def init_list(key, conf):
+    """SparseCostRegNetList equivalent (reg_network.py:91-107)."""
+    d_in = conf.get_list("d_in")
+    d_out = conf.get_list("d_out")
+    d_base = conf.get_list("d_base")
+    keys = jax.random.split(key, len(d_in))
+    ps, ss = [], []
+    for i in range(len(d_in)):
+        p, s = init(keys[i], d_in[i], d_out[i], d_base[i])
+        ps.append(p)
+        ss.append(s)
+    return ps, ss
+
+
+# ---------------------------------------------------------------------------
+# dense path
+# ---------------------------------------------------------------------------
+
+def _maxpool2(mask):
+    """(X,Y,Z) bool -> (X/2,Y/2,Z/2) bool: any-child-active."""
+    m = mask.astype(jnp.float32)[None, ..., None]
+    out = jax.lax.reduce_window(m, -jnp.inf, jax.lax.max, (1, 2, 2, 2, 1),
+                                (1, 2, 2, 2, 1), "VALID")
+    return out[0, ..., 0] > 0
+
+
+def _dense_block(p, s, x, mask, *, stride, training, transposed=False):
+    """x (1,X,Y,Z,C); mask (X',Y',Z') of the OUTPUT level."""
+    if transposed:
+        y = conv3d_transpose_apply(p["conv"], x, stride=2)
+    else:
+        y = conv3d_apply(p["conv"], x, stride=stride)
+    y, bn_s = masked_batch_norm_apply(p["bn"], s["bn"], y, mask[None], training=training)
+    y = relu(y) * mask[None, ..., None]
+    return y, {"bn": bn_s}
+
+
+def apply_dense(params, state, grid: sp.VoxelGrid, feats, *, training=False):
+    """Dense-masked execution.  feats: (P*8, C_in) on the grid's children."""
+    res = grid.res
+    x0 = sp.scatter_to_dense(grid, feats)[None]  # (1,R,R,R,C)
+    m0 = sp.scatter_to_dense(grid, grid.cvalid[:, None].astype(jnp.float32))[..., 0] > 0
+    m1 = _maxpool2(m0)
+    m2 = _maxpool2(m1)
+    m3 = _maxpool2(m2)
+
+    ns = {}
+    c0, ns["conv0"] = _dense_block(params["conv0"], state["conv0"], x0, m0, stride=1, training=training)
+    x, ns["conv1"] = _dense_block(params["conv1"], state["conv1"], c0, m1, stride=2, training=training)
+    c2, ns["conv2"] = _dense_block(params["conv2"], state["conv2"], x, m1, stride=1, training=training)
+    x, ns["conv3"] = _dense_block(params["conv3"], state["conv3"], c2, m2, stride=2, training=training)
+    c4, ns["conv4"] = _dense_block(params["conv4"], state["conv4"], x, m2, stride=1, training=training)
+    x, ns["conv5"] = _dense_block(params["conv5"], state["conv5"], c4, m3, stride=2, training=training)
+    x, ns["conv6"] = _dense_block(params["conv6"], state["conv6"], x, m3, stride=1, training=training)
+    up, ns["conv7"] = _dense_block(params["conv7"], state["conv7"], x, m2, stride=2,
+                                   training=training, transposed=True)
+    x = c4 + up
+    up, ns["conv9"] = _dense_block(params["conv9"], state["conv9"], x, m1, stride=2,
+                                   training=training, transposed=True)
+    x = c2 + up
+    up, ns["conv11"] = _dense_block(params["conv11"], state["conv11"], x, m0, stride=2,
+                                    training=training, transposed=True)
+    x = c0 + up
+
+    # gather back to the child rows
+    cc = grid.child_coords()
+    cc = jnp.clip(cc, 0, res - 1)
+    mid = x[0][cc[:, 0], cc[:, 1], cc[:, 2]]
+    mid = mid * grid.cvalid[:, None].astype(mid.dtype)
+    out = mid @ params["out_lin"]["w"]
+    return out, mid, ns
+
+
+# ---------------------------------------------------------------------------
+# hybrid (gather/scatter) path for fine stages
+# ---------------------------------------------------------------------------
+
+def _child_gather(grid, storage, coords):
+    rows, valid = sp.lookup_rows(grid, coords)
+    return sp.gather_feats(storage, rows, valid)
+
+
+def _parent_gather(grid, storage_p, pcoords, pactive):
+    """Lookup parent-level features at parent coords via the dense table."""
+    half = grid.res // 2
+    inb = jnp.all((pcoords >= 0) & (pcoords < half), axis=-1)
+    c = jnp.clip(pcoords, 0, half - 1)
+    idx = (c[..., 0] * half + c[..., 1]) * half + c[..., 2]
+    prow = grid.parent_table.reshape(-1)[idx]
+    valid = inb & (prow >= 0)
+    row = jnp.clip(prow, 0)
+    valid = valid & pactive[row]
+    vals = storage_p[row.reshape(-1)].reshape(*row.shape, storage_p.shape[-1])
+    return vals * valid[..., None].astype(vals.dtype)
+
+
+def _w_at(w, off):
+    """Kernel tap for spatial offset (conv: out[o] += w[off+1] x[o+off])."""
+    return w[off[0] + 1, off[1] + 1, off[2] + 1]
+
+
+def _subm_conv_child(p, grid, storage):
+    """Submanifold conv at child level: (P*8, Cin) -> (P*8, Cout)."""
+    cc = grid.child_coords()
+    w = p["w"]
+    out = None
+    for off in _OFFSETS:
+        x = _child_gather(grid, storage, cc + jnp.array(off, jnp.int32))
+        y = x @ _w_at(w, off)
+        out = y if out is None else out + y
+    return out * grid.cvalid[:, None].astype(out.dtype)
+
+
+def _subm_conv_parent(p, grid, storage_p, pactive):
+    """Submanifold conv over the parent set: (P, Cin) -> (P, Cout)."""
+    w = p["w"]
+    out = None
+    for off in _OFFSETS:
+        x = _parent_gather(grid, storage_p, grid.parents + jnp.array(off, jnp.int32), pactive)
+        y = x @ _w_at(w, off)
+        out = y if out is None else out + y
+    return out * pactive[:, None].astype(out.dtype)
+
+
+def _down_conv_child_to_parent(p, grid, storage):
+    """Stride-2 conv children -> parents: out[q] = sum_off w[off] x[2q+off]."""
+    w = p["w"]
+    base = grid.parents * 2
+    out = None
+    for off in _OFFSETS:
+        x = _child_gather(grid, storage, base + jnp.array(off, jnp.int32))
+        y = x @ _w_at(w, off)
+        out = y if out is None else out + y
+    return out
+
+
+def _down_conv_parent_to_dense(p, grid, storage_p, pactive, out_res):
+    """Stride-2 conv parents -> dense (out_res^3): gather-based (no huge
+    dense temp at parent resolution)."""
+    w = p["w"]
+    r = jnp.arange(out_res, dtype=jnp.int32)
+    q = jnp.stack(jnp.meshgrid(r, r, r, indexing="ij"), axis=-1).reshape(-1, 3)
+    out = None
+    for off in _OFFSETS:
+        x = _parent_gather(grid, storage_p, q * 2 + jnp.array(off, jnp.int32), pactive)
+        y = x @ _w_at(w, off)
+        out = y if out is None else out + y
+    return out.reshape(out_res, out_res, out_res, -1)
+
+
+def _up_conv_dense_to_parent(p, grid, dense):
+    """Transposed stride-2 conv dense (R/4) -> parent set (R/2):
+    out[c] = sum_{off: (c-off) even} w[off] x[(c-off)/2]."""
+    w = p["w"]
+    n = dense.shape[0]
+    flat = dense.reshape(n ** 3, -1)
+    c = grid.parents
+    out = None
+    for off in _OFFSETS:
+        src2 = c - jnp.array(off, jnp.int32)
+        even = jnp.all((src2 & 1) == 0, axis=-1)
+        src = src2 >> 1
+        inb = jnp.all((src >= 0) & (src < n), axis=-1) & even
+        s = jnp.clip(src, 0, n - 1)
+        idx = (s[:, 0] * n + s[:, 1]) * n + s[:, 2]
+        x = flat[idx] * inb[:, None].astype(flat.dtype)
+        y = x @ _w_at(w, off)
+        out = y if out is None else out + y
+    return out
+
+
+def _up_conv_parent_to_child(p, grid, storage_p, pactive):
+    """Transposed stride-2 conv parents -> children."""
+    w = p["w"]
+    cc = grid.child_coords()
+    out = None
+    for off in _OFFSETS:
+        src2 = cc - jnp.array(off, jnp.int32)
+        even = jnp.all((src2 & 1) == 0, axis=-1)
+        src = src2 >> 1
+        x = _parent_gather(grid, storage_p, src, pactive) * even[:, None].astype(storage_p.dtype)
+        y = x @ _w_at(w, off)
+        out = y if out is None else out + y
+    return out * grid.cvalid[:, None].astype(out.dtype)
+
+
+def _bn_relu_rows(p, s, x, mask, training):
+    y, bn_s = masked_batch_norm_apply(p["bn"], s["bn"], x, mask, training=training)
+    return relu(y) * mask[:, None].astype(y.dtype), {"bn": bn_s}
+
+
+def apply_hybrid(params, state, grid: sp.VoxelGrid, feats, *, training=False):
+    """Gather/scatter execution: L0 (children) and L1 (parents) sparse,
+    L2/L3 dense at R/4 and R/8."""
+    res = grid.res
+    cval = grid.cvalid
+    pactive = grid.pvalid & jnp.any(cval.reshape(-1, 8), axis=1)
+    r4 = res // 4
+
+    ns = {}
+    # L0
+    x = _subm_conv_child(params["conv0"]["conv"], grid, feats)
+    c0, ns["conv0"] = _bn_relu_rows(params["conv0"], state["conv0"], x, cval, training)
+    # L0 -> L1
+    x = _down_conv_child_to_parent(params["conv1"]["conv"], grid, c0)
+    x, ns["conv1"] = _bn_relu_rows(params["conv1"], state["conv1"], x, pactive, training)
+    x = _subm_conv_parent(params["conv2"]["conv"], grid, x, pactive)
+    c2, ns["conv2"] = _bn_relu_rows(params["conv2"], state["conv2"], x, pactive, training)
+    # L1 -> L2 (dense from here down); activity at R/4 from parent occupancy
+    occ_p = _scatter_parent_occupancy(grid, pactive)           # (R/2)^3 bool
+    m2 = _maxpool2(occ_p)
+    m3 = _maxpool2(m2)
+    x = _down_conv_parent_to_dense(params["conv3"]["conv"], grid, c2, pactive, r4)[None]
+    x, bn_s = masked_batch_norm_apply(params["conv3"]["bn"], state["conv3"]["bn"], x,
+                                      m2[None], training=training)
+    ns["conv3"] = {"bn": bn_s}
+    x = relu(x) * m2[None, ..., None]
+    c4, ns["conv4"] = _dense_block(params["conv4"], state["conv4"], x, m2, stride=1, training=training)
+    x, ns["conv5"] = _dense_block(params["conv5"], state["conv5"], c4, m3, stride=2, training=training)
+    x, ns["conv6"] = _dense_block(params["conv6"], state["conv6"], x, m3, stride=1, training=training)
+    up, ns["conv7"] = _dense_block(params["conv7"], state["conv7"], x, m2, stride=2,
+                                   training=training, transposed=True)
+    x = c4 + up
+    # L2 -> L1
+    up = _up_conv_dense_to_parent(params["conv9"]["conv"], grid, x[0])
+    up, ns["conv9"] = _bn_relu_rows(params["conv9"], state["conv9"], up, pactive, training)
+    x = c2 + up
+    # L1 -> L0
+    up = _up_conv_parent_to_child(params["conv11"]["conv"], grid, x, pactive)
+    up, ns["conv11"] = _bn_relu_rows(params["conv11"], state["conv11"], up, cval, training)
+    mid = c0 + up
+    out = mid @ params["out_lin"]["w"]
+    return out, mid, ns
+
+
+def _scatter_parent_occupancy(grid, pactive):
+    half = grid.res // 2
+    n3 = half ** 3
+    p = jnp.clip(grid.parents, 0, half - 1)
+    idx = (p[:, 0] * half + p[:, 1]) * half + p[:, 2]
+    idx = jnp.where(pactive, idx, n3)
+    flat = jnp.zeros((n3 + 1,), bool).at[idx].set(True, mode="drop")
+    return flat[:n3].reshape(half, half, half)
+
+
+def apply(params, state, grid, feats, *, training=False, dense_max_res=176):
+    if grid.res <= dense_max_res:
+        return apply_dense(params, state, grid, feats, training=training)
+    return apply_hybrid(params, state, grid, feats, training=training)

@@ -1,0 +1,191 @@
+"""SuRF composite model: FPN features -> sparse volume cascade -> NeuS
+render.  Functional re-design of models/surf.py:15-163.
+
+``build_volumes`` runs the cascade (surf.py:80-131): per stage it
+(1) upsamples + depth-filters the voxel set (stage 0 = the dense base grid),
+(2) back-projects multi-scale features with attention aggregation,
+(3) regularizes with the sparse U-Net,
+(4) scatters channel 0 into the dense matching volume (seeded by the
+    upsampled previous one) and keeps channels 1: as the sparse feature
+    volume,
+(5) renders per-view matching-field depths that drive the next stage's
+    sparsification.
+
+The frozen ``match_feature_network`` copy (surf.py:30-32, 141-148) is
+realized functionally: the training loop snapshots the feature-network
+params into the model state on even steps and the forward pass runs them
+under stop_gradient.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import feature_net, reg_net, matching_field, implicit_surface, volume as volume_mod
+from ..ops import sparse as sp
+
+
+def init(key, conf):
+    """Returns (params, state, static)."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    range_ratios = conf.get_list("range_ratios")
+    num_stage = len(range_ratios)
+
+    fn_params = feature_net.init(k1, conf["feature_network"])
+    vol_params = volume_mod.init(k2, conf["volume"])
+    reg_params, reg_state = reg_net.init_list(k3, conf["reg_network"])
+    is_params, is_static = implicit_surface.init(k4, conf["implicit_surface"])
+
+    params = {
+        "feature_network": fn_params,
+        "volume": vol_params,
+        "reg_network": reg_params,
+        "implicit_surface": is_params,
+    }
+    state = {
+        "reg_network": reg_state,
+        # frozen copy of the feature network, refreshed on even steps
+        "match_feature_network": jax.tree.map(jnp.copy, fn_params),
+    }
+
+    base_dim = conf.get_list("volume.base_volume_dim")[0]
+    default_caps = [(base_dim // 2) ** 3] + [(base_dim // 2) ** 3] * (num_stage - 1)
+    parent_caps = conf.get_list("volume.stage_parent_capacity", default=None)
+    if parent_caps is None:
+        # stage_capacity (children) accepted for convenience
+        child_caps = conf.get_list("volume.stage_capacity", default=None)
+        parent_caps = [c // 8 for c in child_caps] if child_caps else default_caps
+    parent_caps[0] = (base_dim // 2) ** 3  # stage 0 is the dense base grid
+
+    static = {
+        "range_ratios": range_ratios,
+        "num_stage": num_stage,
+        "base_dim": base_dim,
+        "parent_caps": parent_caps,
+        "dense_unet_max_res": conf.get_int("dense_unet_max_res", default=176),
+        "matching_field": {
+            "n_samples_depths": conf.get_list("matching_field.n_samples_depths"),
+            "depth_res_levels": conf.get_list("matching_field.depth_res_levels"),
+        },
+        "implicit_surface": is_static,
+    }
+    return params, state, static
+
+
+def build_volumes(key, params, state, static, ipts, features, *,
+                  perturb, training=False):
+    """Run the sparsification cascade.
+
+    Returns (outputs, stages, matching_volume, new_reg_state) where
+    ``stages`` is a list of (VoxelGrid, feat_storage (P*8, d_out-1))
+    coarse-to-fine.
+    """
+    imgs = ipts["imgs"]
+    intrs = ipts["intrs"]
+    c2ws = ipts["c2ws"]
+    near, far = ipts["near"].reshape(-1)[0], ipts["far"].reshape(-1)[0]
+    base_range = far - near
+    hw = imgs.shape[1:3]
+
+    outputs = {}
+    stages = []
+    matching_volume = None
+    depths = None
+    grid = None
+    mid = None
+    new_reg_state = []
+
+    num_stage = static["num_stage"]
+    keys = jax.random.split(key, num_stage)
+    for s in range(num_stage):
+        stage_range = base_range * static["range_ratios"][s]
+        if s == 0:
+            grid = sp.dense_base_grid(static["base_dim"])
+            up_feats = None
+        else:
+            grid, up_feats = volume_mod.upsample_and_filter(
+                grid, mid, depths, intrs, c2ws, stage_range,
+                static["parent_caps"][s])
+
+        world = sp.voxel_centers_world(grid.child_coords(), grid.res)
+        bp_feats, frustum = volume_mod.back_project(
+            params["volume"], features, world, intrs, c2ws, s, hw)
+        cvalid = grid.cvalid & frustum
+        grid = grid._replace(cvalid=cvalid)
+        bp_feats = bp_feats * cvalid[:, None].astype(bp_feats.dtype)
+        feats = bp_feats if up_feats is None else jnp.concatenate(
+            [bp_feats, up_feats * cvalid[:, None].astype(up_feats.dtype)], axis=-1)
+
+        out, mid, reg_s = reg_net.apply(
+            params["reg_network"][s], state["reg_network"][s], grid, feats,
+            training=training, dense_max_res=static["dense_unet_max_res"])
+        new_reg_state.append(reg_s)
+
+        matching_volume = volume_mod.matching_and_mask_volume(
+            grid, out[:, :1], matching_volume)
+        stages.append((grid, out[:, 1:]))
+
+        depths, occ_regs = matching_field.apply(
+            keys[s], static["matching_field"], ipts, matching_volume, s,
+            static["range_ratios"], None if s == 0 else depths, perturb=perturb)
+
+        outputs[f"depth_stage{s}"] = depths[0]
+        src_idx = ipts.get("src_idx", None)
+        if src_idx is not None:
+            outputs[f"depth_src_stage{s}"] = jnp.take(depths, jnp.asarray(src_idx), axis=0)
+        else:
+            outputs[f"depth_src_stage{s}"] = depths[0]
+        outputs[f"occ_reg_stage{s}"] = occ_regs
+
+    return outputs, stages, matching_volume, {"reg_network": new_reg_state}
+
+
+def forward(key, params, state, static, mode, ipts, cos_anneal_ratio=1.0,
+            step=None, *, training=None):
+    """Training / finetune-style forward over sampled rays.
+
+    Validation (mesh extraction + full-image render) lives in the runner —
+    it is host-orchestrated chunked work, not a single jit graph.
+    """
+    if training is None:
+        training = mode == "train"
+    k_build, k_render = jax.random.split(key)
+
+    features = feature_net.apply(params["feature_network"], ipts["imgs"])
+    outputs, stages, matching_volume, new_state = build_volumes(
+        k_build, params, state, static, ipts, features,
+        perturb=(mode == "train"), training=training)
+
+    match_features = [
+        jax.lax.stop_gradient(f) for f in
+        feature_net.apply(state["match_feature_network"], ipts["imgs"])]
+
+    fine_first = features[::-1]
+    match_fine_first = match_features[::-1]
+    stages_fine_first = stages[::-1]
+
+    render_out = implicit_surface.render(
+        k_render, params["implicit_surface"], static["implicit_surface"],
+        ipts["rays_o"], ipts["rays_d"], ipts["near"], ipts["far"],
+        matching_volume, stages_fine_first, fine_first, match_fine_first,
+        ipts["imgs"], ipts["intrs"], ipts["c2ws"], cos_anneal_ratio, step)
+    outputs.update(render_out)
+
+    if "pseudo_pts" in ipts:
+        outputs["pseudo_sdf"] = implicit_surface.pseudo_sdf(
+            params["implicit_surface"], static["implicit_surface"],
+            ipts["pseudo_pts"], stages_fine_first)
+
+    new_state = dict(new_state)
+    new_state["match_feature_network"] = state["match_feature_network"]
+    return outputs, new_state
+
+
+def refresh_match_features(params, state):
+    """Snapshot the live feature network into the frozen copy — the even-step
+    refresh at surf.py:141-148 (called from the training loop)."""
+    new_state = dict(state)
+    new_state["match_feature_network"] = jax.tree.map(
+        jnp.copy, params["feature_network"])
+    return new_state

@@ -1,0 +1,137 @@
+"""Sparse voxel volume construction: multi-scale feature back-projection and
+the upsample → depth-filter → compact step of the sparsification cascade.
+
+Functional re-design of models/modules/volume.py:
+
+  * ``back_project``: voxel centers projected into every view, multi-scale
+    feature maps (stage and finer) bilinearly sampled and summed, per-view
+    softmax attention from a tiny 4->8->1 MLP, output = concat(weighted
+    mean, weighted variance) + frustum mask (>= 2 views), volume.py:54-97.
+  * ``upsample_and_filter``: 2x voxel subdivision (volume.py:35-52) fused
+    with depth filtering (volume.py:134-168) — a voxel survives if its
+    projected depth is within ``stage_range`` of the rendered matching-field
+    depth in >= 2 views.  Data-dependent filtering becomes a static top-k
+    compaction into the next stage's parent capacity (ops/sparse.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .core import linear_init, linear_apply, elu
+from ..ops import (
+    bilinear_sample_2d, project_points, pixel_to_normalized, in_frustum_mask,
+)
+from ..ops import sparse as sp
+
+
+def init(key, conf):
+    k1, k2 = jax.random.split(key)
+    params = {
+        "agg_mlp": [linear_init(k1, 4, 8), linear_init(k2, 8, 1)],
+    }
+    return params
+
+
+def back_project(params, features, world_pts, intrs, c2ws, stage_idx, hw):
+    """features: list of (nv, h_s, w_s, c) low-res -> high-res.
+
+    world_pts: (N, 3).  Returns (feat (N, 2c), frustum_mask (N,)).
+    """
+    nv = intrs.shape[0]
+    h, w = features[-1].shape[1:3]
+
+    xy_all, depth_all, mask_all = [], [], []
+    for v in range(nv):
+        xy, depth = project_points(world_pts, intrs[v], c2ws[v])
+        xy_all.append(xy)
+        depth_all.append(depth)
+    xy = jax.lax.stop_gradient(jnp.stack(xy_all))         # (nv, N, 2)
+    depth = jax.lax.stop_gradient(jnp.stack(depth_all))   # (nv, N)
+    # normalization uses the *finest* feature resolution (volume.py:62,73-74)
+    grid = pixel_to_normalized(xy, (h, w))
+    mask = in_frustum_mask(xy, depth, (h, w), inclusive=True)  # (nv, N)
+
+    warp = None
+    for feat in features[stage_idx:]:
+        sampled = jax.vmap(lambda f, g: bilinear_sample_2d(f, g, align_corners=True))(feat, grid)
+        warp = sampled if warp is None else warp + sampled  # (nv, N, c)
+
+    x = linear_apply(params["agg_mlp"][1], elu(linear_apply(params["agg_mlp"][0], warp)))
+    x = jnp.where(mask[..., None], x, -1e9)
+    wgt = jax.nn.softmax(x, axis=0)  # over views
+
+    fw = warp * wgt
+    mean = jnp.sum(fw, axis=0)
+    # the reference's (intentional or not) variance form, volume.py:93:
+    # sum((f*w)^2) - (sum(f*w))^2 — replicated exactly for weight parity
+    var = jnp.sum(fw ** 2, axis=0) - mean ** 2
+    feat_vol = jnp.concatenate([mean, var], axis=-1)
+    frustum = jnp.sum(mask, axis=0) > 1
+    return feat_vol, frustum
+
+
+def depth_consistency(world_pts, cand_valid, depths, intrs, c2ws, stage_range):
+    """Per-voxel count of views whose rendered depth matches the voxel's
+    projected depth within ``stage_range`` (volume.py:144-163).
+
+    depths: (nv, H, W) full-resolution matching-field depths.
+    Returns (count (N,), keep (N,)) with keep = count > 1 & cand_valid.
+    """
+    nv, H, W = depths.shape
+    counts = jnp.zeros(world_pts.shape[0], jnp.int32)
+    for v in range(nv):
+        xy, depth = project_points(world_pts, intrs[v], c2ws[v])
+        grid = pixel_to_normalized(xy, (H, W))
+        mask = in_frustum_mask(xy, depth, (H, W), inclusive=True)
+        warp = bilinear_sample_2d(depths[v][..., None], grid, align_corners=True)[..., 0]
+        ok = (jnp.abs(warp - depth) < stage_range) & mask
+        counts = counts + ok.astype(jnp.int32)
+    keep = (counts > 1) & cand_valid
+    return counts, keep
+
+
+def upsample_and_filter(prev_grid: sp.VoxelGrid, prev_mid, depths, intrs, c2ws,
+                        stage_range, parent_cap: int):
+    """Subdivide the previous stage's voxels 2x, keep children consistent
+    with the rendered depths, and compact surviving parents into a static
+    capacity.
+
+    prev_mid: (P_prev*8, c) mid-features of the previous stage (broadcast to
+    children as the next stage's ``up_feats``, volume.py:44).
+    Returns (new_grid, up_feats (parent_cap*8, c)).
+    """
+    res_new = prev_grid.res * 2
+    cand_parents = prev_grid.child_coords()              # (Np*8, 3) at res_new/2
+    cand_pvalid = prev_grid.cvalid                        # (Np*8,)
+
+    # all 8 children of every candidate parent, world centers at res_new
+    children = (cand_parents[:, None, :] * 2 + sp.CHILD_OFFSETS[None]).reshape(-1, 3)
+    world = sp.voxel_centers_world(children, res_new)
+    cand_cvalid = jnp.repeat(cand_pvalid, 8)
+
+    counts, keep = depth_consistency(
+        jax.lax.stop_gradient(world), cand_cvalid, depths, intrs, c2ws, stage_range)
+
+    keep8 = keep.reshape(-1, 8)
+    score = jnp.sum(keep8, axis=1).astype(jnp.float32)
+    pvalid = (score > 0) & cand_pvalid
+    sel, sel_valid = sp.compact_parents(score, pvalid, parent_cap)
+
+    parents = cand_parents[sel]
+    cvalid = keep8[sel] & sel_valid[:, None]
+    grid = sp.make_grid(parents, sel_valid, cvalid, res_new)
+    up_feats = jnp.repeat(prev_mid[sel], 8, axis=0)       # (parent_cap*8, c)
+    up_feats = up_feats * grid.cvalid[:, None].astype(up_feats.dtype)
+    return grid, up_feats
+
+
+def matching_and_mask_volume(grid: sp.VoxelGrid, density, prev_matching=None):
+    """Dense matching (density) volume for the stage: background = trilinear
+    2x upsampling of the previous stage's volume, active voxels overwritten
+    (volume.py:99-121).  density: (P*8, 1).
+    Returns dense (R, R, R, 1)."""
+    from ..ops import upsample_trilinear_x2
+    bg = upsample_trilinear_x2(prev_matching) if prev_matching is not None else None
+    return sp.scatter_to_dense(grid, density, background=bg)

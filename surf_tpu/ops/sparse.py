@@ -1,0 +1,218 @@
+"""Static-shape sparse voxel sets for the end-to-end sparsification cascade.
+
+The reference represents each stage's active voxels as a data-dependent
+torchsparse ``SparseTensor`` plus a dense int64 index table per stage
+(volume.py:123-132 — at stage 3 that table is 704^3 int64!).  Neither is
+XLA-friendly: shapes change every step and the table costs 2.8e9 entries.
+
+TPU-native design used here (static shapes, bounded memory):
+
+  * Voxels of a stage live in **parent blocks**: a stage at resolution R
+    stores ``P`` parent cells at resolution R/2, each owning its 2x2x2
+    children.  Upsampling a stage (volume.py:35-52) maps kept voxels of
+    stage s-1 to parents of stage s, so the blocks arise naturally.
+  * ``parent_table`` is a dense int32 grid at R/2 mapping parent coord ->
+    parent row (or -1).  Even at stage 3 (R=704) this is only 352^3 int32
+    = 174 MB, vs 11+ GB for a child-level table.
+  * All buffers are capacity-padded with validity masks; "filtering" is a
+    mask update + a top-k compaction, never a boolean index.
+
+A voxel coordinate ``v`` (int, in [0, R)) resolves to:
+    parent p = v >> 1,  child slot k = (v0&1)*4 + (v1&1)*2 + (v2&1)
+    row = parent_table[p] * 8 + k,  valid iff parent_table[p] >= 0 and
+    child_valid[row].
+
+Feature storage for a stage is any ``(P * 8, C)`` array indexed by ``row``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+# child slot offsets in the fixed order (x,y,z) bits — slot k corresponds to
+# offset ((k>>2)&1, (k>>1)&1, k&1)
+CHILD_OFFSETS = jnp.array(
+    [[(k >> 2) & 1, (k >> 1) & 1, k & 1] for k in range(8)], dtype=jnp.int32)
+
+
+class VoxelGrid(NamedTuple):
+    """Static-capacity sparse voxel set at resolution ``res`` (= 2 * parent
+    resolution).  All arrays are capacity-padded.
+
+    parents:     (P, 3) int32 parent coords at res//2 (garbage where ~pvalid)
+    pvalid:      (P,)   bool
+    cvalid:      (P*8,) bool   child validity (row-major by parent, slot)
+    parent_table:(res//2, res//2, res//2) int32  parent coord -> row or -1
+    """
+    parents: jnp.ndarray
+    pvalid: jnp.ndarray
+    cvalid: jnp.ndarray
+    parent_table: jnp.ndarray
+
+    @property
+    def res(self) -> int:
+        return self.parent_table.shape[0] * 2
+
+    @property
+    def capacity(self) -> int:
+        return self.parents.shape[0] * 8
+
+    def child_coords(self):
+        """(P*8, 3) int32 voxel coords of every child slot."""
+        return (self.parents[:, None, :] * 2 + CHILD_OFFSETS[None]).reshape(-1, 3)
+
+
+def build_parent_table(parents, pvalid, half_res: int):
+    """Scatter parent rows into a dense int32 lookup grid."""
+    n3 = half_res ** 3
+    flat = jnp.full((n3 + 1,), -1, dtype=jnp.int32)
+    p = jnp.clip(parents, 0, half_res - 1)
+    idx = (p[:, 0] * half_res + p[:, 1]) * half_res + p[:, 2]
+    idx = jnp.where(pvalid, idx, n3)  # invalid rows scatter to the dump slot
+    rows = jnp.arange(parents.shape[0], dtype=jnp.int32)
+    flat = flat.at[idx].set(rows, mode="drop")
+    return flat[:n3].reshape(half_res, half_res, half_res)
+
+
+def make_grid(parents, pvalid, cvalid, res: int) -> VoxelGrid:
+    table = build_parent_table(parents, pvalid, res // 2)
+    return VoxelGrid(parents, pvalid, cvalid.reshape(-1), table)
+
+
+def dense_base_grid(res: int) -> VoxelGrid:
+    """Fully dense stage-0 grid (reference: Volume.init_coords,
+    volume.py:21-33) expressed in the same sparse structure: every parent at
+    res//2 exists, every child valid."""
+    half = res // 2
+    r = jnp.arange(half, dtype=jnp.int32)
+    parents = jnp.stack(jnp.meshgrid(r, r, r, indexing="ij"), axis=-1).reshape(-1, 3)
+    pvalid = jnp.ones((half ** 3,), dtype=bool)
+    cvalid = jnp.ones((half ** 3 * 8,), dtype=bool)
+    return make_grid(parents, pvalid, cvalid, res)
+
+
+def lookup_rows(grid: VoxelGrid, coords):
+    """Voxel coords (..., 3) int32 -> (rows (...,), valid (...,)).
+
+    rows are clamped-safe for gathering; ``valid`` is False outside bounds,
+    at absent parents, and at invalid child slots.
+    """
+    res = grid.res
+    half = res // 2
+    in_bounds = jnp.all((coords >= 0) & (coords < res), axis=-1)
+    c = jnp.clip(coords, 0, res - 1)
+    p = c >> 1
+    k = ((c[..., 0] & 1) << 2) | ((c[..., 1] & 1) << 1) | (c[..., 2] & 1)
+    pidx = (p[..., 0] * half + p[..., 1]) * half + p[..., 2]
+    prow = grid.parent_table.reshape(-1)[pidx]
+    row = jnp.clip(prow, 0) * 8 + k
+    valid = in_bounds & (prow >= 0) & grid.cvalid[row]
+    return row, valid
+
+
+def gather_feats(storage, rows, valid):
+    """storage (P*8, C); rows/valid (...,) -> (..., C), zero where invalid."""
+    out = storage[rows.reshape(-1)].reshape(*rows.shape, storage.shape[-1])
+    return out * valid[..., None].astype(storage.dtype)
+
+
+def sparse_trilinear(grid: VoxelGrid, storage, pts):
+    """Sparse trilinear interpolation at world points in [-1, 1]^3.
+
+    Functional equivalent of the reference's ``grid_sample_3d_sparse``
+    (projector.py:217-374): voxel centers at ``-1 + 2*i/(res-1)``
+    (align_corners=True convention), absent corner voxels contribute zero.
+    Arbitrarily differentiable w.r.t. both ``storage`` and ``pts``.
+
+    pts: (..., 3) -> (..., C)
+    """
+    res = grid.res
+    coords = (pts + 1.0) * 0.5 * (res - 1)  # voxel-space
+    c0 = jnp.floor(coords)
+    frac = coords - c0
+    c0i = c0.astype(jnp.int32)
+
+    out = None
+    for k in range(8):
+        dx, dy, dz = (k >> 2) & 1, (k >> 1) & 1, k & 1
+        corner = c0i + jnp.array([dx, dy, dz], dtype=jnp.int32)
+        # NB: the reference clamps corner indices *before* the sparse lookup
+        # (projector.py:287-318), so out-of-range taps read the border voxel
+        # instead of zero; we reproduce that to stay weight-compatible.
+        corner = jnp.clip(corner, 0, res - 1)
+        rows, valid = lookup_rows(grid, corner)
+        vals = gather_feats(storage, rows, valid)
+        wx = frac[..., 0] if dx else 1.0 - frac[..., 0]
+        wy = frac[..., 1] if dy else 1.0 - frac[..., 1]
+        wz = frac[..., 2] if dz else 1.0 - frac[..., 2]
+        w = (wx * wy * wz)[..., None]
+        out = vals * w if out is None else out + vals * w
+    return out
+
+
+def occupancy_nearest(grid: VoxelGrid, pts, *, align_corners=False):
+    """Nearest-voxel occupancy test at world points in [-1,1]^3.
+
+    Equivalent to the reference's dense mask-volume nearest lookup
+    (implicit_surface.py:86: lookup_volume(mask_volumes, 'nearest')) but
+    reads the sparse structure directly — no dense (R^3) mask volume is ever
+    materialized.  F.grid_sample's nearest mode with align_corners=False
+    unnormalizes as ((c+1)*R - 1)/2 then truncates toward floor(+0.5).
+    """
+    res = grid.res
+    if align_corners:
+        coords = (pts + 1.0) * 0.5 * (res - 1)
+    else:
+        coords = ((pts + 1.0) * res - 1.0) * 0.5
+    idx = jnp.floor(coords + 0.5).astype(jnp.int32)
+    inside = jnp.all((idx >= 0) & (idx < res), axis=-1)
+    _, valid = lookup_rows(grid, jnp.clip(idx, 0, res - 1))
+    return valid & inside
+
+
+def scatter_to_dense(grid: VoxelGrid, values, *, background=None):
+    """Scatter per-child values into a dense (res, res, res, C) volume.
+
+    Reference equivalent: ``Volume.sparse2dense`` (volume.py:99-121) — used
+    to build the dense matching (density) volume each stage, with the
+    trilinearly-upsampled previous stage as background for channel 0.
+    Invalid children are dropped.
+    """
+    res = grid.res
+    C = values.shape[-1]
+    n3 = res ** 3
+    cc = grid.child_coords()
+    idx = (cc[:, 0] * res + cc[:, 1]) * res + cc[:, 2]
+    idx = jnp.where(grid.cvalid, idx, n3)
+    if background is None:
+        flat = jnp.zeros((n3 + 1, C), dtype=values.dtype)
+    else:
+        flat = jnp.concatenate(
+            [background.reshape(n3, C), jnp.zeros((1, C), background.dtype)], axis=0)
+    flat = flat.at[idx].set(values.reshape(-1, C), mode="drop")
+    return flat[:n3].reshape(res, res, res, C)
+
+
+def compact_parents(scores, pvalid, capacity: int):
+    """Select up to ``capacity`` parents by descending score (valid first).
+
+    Replaces data-dependent boolean filtering (volume.py:165-167) with a
+    static top-k: returns (sel_idx (capacity,), sel_valid (capacity,)).
+    When the number of valid parents is <= capacity the selection is exactly
+    the valid set; on overflow the lowest-scoring parents are dropped.
+    """
+    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+    s = jnp.where(pvalid, scores, neg_inf)
+    top_scores, sel_idx = jax.lax.top_k(s, capacity)
+    sel_valid = top_scores > neg_inf
+    return sel_idx.astype(jnp.int32), sel_valid
+
+
+def voxel_centers_world(coords, res: int):
+    """Voxel integer coords -> world centers in [-1,1]^3 (volume.py:64:
+    world = coords * voxel_size + origin, voxel_size = 2/(res-1))."""
+    voxel_size = 2.0 / (res - 1)
+    return coords.astype(jnp.float32) * voxel_size - 1.0

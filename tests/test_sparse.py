@@ -1,0 +1,128 @@
+"""Tests for the static-capacity sparse voxel structure: sparse trilinear
+lookup must agree with a dense reference implementation on the active set."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from surf_tpu.ops import sparse as sp
+from surf_tpu.ops import trilinear_sample_3d
+
+RNG = np.random.RandomState(42)
+
+
+def random_grid(res=8, p_keep=0.5, c_feat=4, cap_extra=3):
+    half = res // 2
+    all_parents = np.stack(np.meshgrid(*([np.arange(half)] * 3), indexing="ij"),
+                           axis=-1).reshape(-1, 3)
+    keep = RNG.rand(len(all_parents)) < p_keep
+    parents = all_parents[keep]
+    P = len(parents) + cap_extra
+    pad = np.zeros((cap_extra, 3), np.int32)
+    parents_padded = np.concatenate([parents, pad]).astype(np.int32)
+    pvalid = np.concatenate([np.ones(len(parents), bool), np.zeros(cap_extra, bool)])
+    cvalid = RNG.rand(P * 8) < 0.8
+    cvalid &= np.repeat(pvalid, 8)
+    grid = sp.make_grid(jnp.asarray(parents_padded), jnp.asarray(pvalid),
+                        jnp.asarray(cvalid), res)
+    storage = jnp.asarray(RNG.randn(P * 8, c_feat).astype(np.float32))
+    return grid, storage
+
+
+def densify(grid, storage):
+    """Dense (res,res,res,C) reference volume: zeros at absent voxels."""
+    res = grid.res
+    C = storage.shape[-1]
+    dense = np.zeros((res, res, res, C), np.float32)
+    cc = np.asarray(grid.child_coords())
+    cv = np.asarray(grid.cvalid)
+    st = np.asarray(storage)
+    for i in range(len(cc)):
+        if cv[i]:
+            x, y, z = cc[i]
+            dense[x, y, z] = st[i]
+    return jnp.asarray(dense)
+
+
+def test_lookup_rows_roundtrip():
+    grid, storage = random_grid()
+    cc = grid.child_coords()
+    rows, valid = sp.lookup_rows(grid, cc)
+    # padded (invalid) parent rows hold garbage coords that may alias real
+    # parents — only rows under valid parents are meaningful.
+    live = np.repeat(np.asarray(grid.pvalid), 8)
+    np.testing.assert_array_equal(np.asarray(valid)[live], np.asarray(grid.cvalid)[live])
+    act = np.asarray(rows)[live & np.asarray(valid)]
+    exp = np.arange(grid.capacity)[live & np.asarray(grid.cvalid)]
+    np.testing.assert_array_equal(act, exp)
+
+
+def test_lookup_out_of_bounds_invalid():
+    grid, _ = random_grid()
+    bad = jnp.array([[-1, 0, 0], [0, grid.res, 0], [grid.res, grid.res, grid.res]])
+    _, valid = sp.lookup_rows(grid, bad)
+    assert not np.any(np.asarray(valid))
+
+
+def test_sparse_trilinear_matches_dense():
+    grid, storage = random_grid(res=8)
+    dense = densify(grid, storage)
+    # stay strictly inside so the reference border-clamp edge case is unused
+    pts = jnp.asarray(RNG.uniform(-0.85, 0.85, size=(200, 3)).astype(np.float32))
+    ours = sp.sparse_trilinear(grid, storage, pts)
+    ref = trilinear_sample_3d(dense, pts, align_corners=True)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-5)
+
+
+def test_sparse_trilinear_second_order_grads():
+    grid, storage = random_grid(res=6)
+
+    def f(p):
+        return sp.sparse_trilinear(grid, storage, p[None])[0, 0]
+
+    p0 = jnp.array([0.12, -0.3, 0.4])
+    g = jax.grad(f)(p0)
+
+    def eik(s):
+        def f2(p):
+            return sp.sparse_trilinear(grid, s, p[None])[0, 0]
+        return jnp.sum(jax.grad(f2)(p0) ** 2)
+
+    ds = jax.grad(eik)(storage)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert np.all(np.isfinite(np.asarray(ds)))
+
+
+def test_scatter_to_dense_with_background():
+    grid, storage = random_grid(res=8, c_feat=1)
+    bg = jnp.asarray(RNG.randn(8, 8, 8, 1).astype(np.float32))
+    out = np.asarray(sp.scatter_to_dense(grid, storage, background=bg))
+    dense = np.asarray(densify(grid, storage))
+    cv = np.zeros((8, 8, 8), bool)
+    cc = np.asarray(grid.child_coords())
+    for i, v in enumerate(np.asarray(grid.cvalid)):
+        if v:
+            cv[tuple(cc[i])] = True
+    np.testing.assert_allclose(out[cv], dense[cv])
+    np.testing.assert_allclose(out[~cv], np.asarray(bg)[~cv])
+
+
+def test_occupancy_nearest():
+    grid, _ = random_grid(res=8)
+    cc = np.asarray(grid.child_coords())
+    cv = np.asarray(grid.cvalid)
+    centers = cc.astype(np.float32) * (2.0 / 7) - 1.0  # align_corners centers
+    occ = np.asarray(sp.occupancy_nearest(grid, jnp.asarray(centers), align_corners=True))
+    live = np.repeat(np.asarray(grid.pvalid), 8)  # padded rows alias coord 0
+    np.testing.assert_array_equal(occ[live], cv[live])
+
+
+def test_compact_parents():
+    scores = jnp.array([3.0, 1.0, 5.0, 2.0, 4.0])
+    pvalid = jnp.array([True, True, False, True, True])
+    idx, valid = sp.compact_parents(scores, pvalid, 3)
+    assert list(np.asarray(idx)) == [4, 0, 3]
+    assert np.all(np.asarray(valid))
+    # under-full: capacity > n valid
+    idx2, valid2 = sp.compact_parents(scores, pvalid, 5)
+    assert np.asarray(valid2).sum() == 4
