@@ -1,0 +1,157 @@
+"""Benchmark: NeuS rendering throughput (rays/sec/chip) on real hardware.
+
+Measures the full per-ray hot path — surface-centric sampling from the
+matching volume, sparse multi-stage trilinear feature lookups, SDF MLP with
+first+second-order gradients, IBRNet blending, NeuS compositing, and the
+zero-crossing + homography patch warp — i.e. the reference's render_core
+(implicit_surface.py:64-266) per-ray workload at validation sample counts.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no throughput numbers
+(BASELINE.md: published = {}).  We compare against an *estimated* reference
+GPU rate of 1,700 rays/sec derived from its val-time chunking (256-ray
+chunks through the same per-ray math on the authors' GPU setup; see
+BASELINE.md).  Revisit when a measured baseline exists.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_RAYS_PER_SEC_ESTIMATE = 1700.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    from surf_tpu.config import ConfigFactory
+    from surf_tpu.data.synthetic import SyntheticDataset
+    from surf_tpu.nn import surf, feature_net, implicit_surface
+
+    n_rays = int(os.environ.get("BENCH_RAYS", 8192))
+    base_dim = int(os.environ.get("BENCH_BASE_DIM", 64))
+    n_stages = int(os.environ.get("BENCH_STAGES", 3))
+    img_hw = (288, 400)
+
+    ratios = [1.0, 0.4, 0.1, 0.01][:n_stages]
+    n_samples = [64, 32, 24, 16][:n_stages]
+    mf_samples = [128, 64, 32, 16][:n_stages]
+    res_levels = [4, 2, 2, 1][:n_stages]
+    d_outs = ", ".join(["4"] * n_stages)
+    d_in_reg = ", ".join(["8"] + ["16"] * (n_stages - 1))
+    ones8 = ", ".join(["8"] * n_stages)
+    feat_ch = 7 * n_stages
+
+    conf = ConfigFactory.parse_string(f"""
+    ds {{
+        num_src_view = 2
+        img_hw = [{img_hw[0]}, {img_hw[1]}]
+        n_rays = {n_rays}
+        n_scenes = 1
+        n_views_total = 6
+    }}
+    model {{
+        range_ratios = [{', '.join(str(r) for r in ratios)}]
+        feature_network {{ d_in = 3  d_base = 8  d_out = [{d_outs}] }}
+        volume {{
+            base_volume_dim = [{base_dim}, {base_dim}, {base_dim}]
+            stage_parent_capacity = [{(base_dim // 2) ** 3}, {min((base_dim // 2) ** 3, 131072)}, 262144, 393216]
+        }}
+        reg_network {{ d_in = [{d_in_reg}]  d_base = [{ones8}]  d_out = [{ones8}] }}
+        matching_field {{
+            n_samples_depths = [{', '.join(str(s) for s in mf_samples)}]
+            n_importance_depths = [{', '.join(str(s) for s in mf_samples)}]
+            up_sample_steps = [{ones8}]
+            depth_res_levels = [{', '.join(str(s) for s in res_levels)}]
+        }}
+        implicit_surface {{
+            sdf_network {{
+                d_out = 129  d_in = 3  d_hidden = 128  n_layers = 6
+                skip_in = [3]  multires = 4  bias = 0.5  scale = 1.0
+                geometric_init = True  weight_norm = True
+                feat_channels = {feat_ch}  feat_multires = 0
+            }}
+            color_network {{ d_feature = {4 * n_stages} }}
+            variance_network {{ init_val = 0.3 }}
+            render {{
+                n_samples = [{', '.join(str(s) for s in n_samples)}]
+                sample_ranges = [{', '.join(str(r) for r in ratios)}]
+                n_depth = 256
+                perturb = 1.0
+            }}
+        }}
+    }}
+    """)
+
+    ds = SyntheticDataset(conf["ds"], "train")
+    batch_np = ds[0]
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items() if not isinstance(v, str)}
+    params, state, static = surf.init(jax.random.PRNGKey(0), conf["model"])
+
+    # build the cascade once (not part of the per-ray throughput metric)
+    @jax.jit
+    def build(params, state, ipts, key):
+        features = feature_net.apply(params["feature_network"], ipts["imgs"])
+        _, stages, matching_volume, _ = surf.build_volumes(
+            key, params, state, static, ipts, features,
+            perturb=False, training=False)
+        return stages, matching_volume, features
+
+    t0 = time.time()
+    stages, matching_volume, features = build(
+        params, state, batch, jax.random.PRNGKey(1))
+    jax.block_until_ready(matching_volume)
+    build_time = time.time() - t0
+
+    stages_ff = stages[::-1]
+    feats_ff = [f for f in features][::-1]
+
+    @jax.jit
+    def render(params, key, rays_o, rays_d, near, far):
+        return implicit_surface.render(
+            key, params["implicit_surface"], static["implicit_surface"],
+            rays_o, rays_d, near, far, matching_volume, stages_ff,
+            feats_ff, feats_ff, batch["imgs"], batch["intrs"], batch["c2ws"],
+            1.0, 2.0)["color_fine"]
+
+    rays_o = batch["rays_o"][:n_rays]
+    rays_d = batch["rays_d"][:n_rays]
+    near = jnp.broadcast_to(batch["near"], (n_rays, 1))
+    far = jnp.broadcast_to(batch["far"], (n_rays, 1))
+
+    key = jax.random.PRNGKey(2)
+    t0 = time.time()
+    out = render(params, key, rays_o, rays_d, near, far)
+    jax.block_until_ready(out)
+    compile_time = time.time() - t0
+
+    iters = int(os.environ.get("BENCH_ITERS", 10))
+    t0 = time.time()
+    for i in range(iters):
+        key, k = jax.random.split(key)
+        out = render(params, k, rays_o, rays_d, near, far)
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+    rays_per_sec = n_rays * iters / dt
+
+    result = {
+        "metric": "render_rays_per_sec_per_chip",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC_ESTIMATE, 2),
+    }
+    print(json.dumps(result))
+    print(f"# device={jax.devices()[0].device_kind} stages={n_stages} "
+          f"base_dim={base_dim} rays={n_rays} samples/ray={sum(n_samples)} "
+          f"build={build_time:.1f}s compile={compile_time:.1f}s "
+          f"steady={dt / iters * 1000:.1f}ms/iter", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -143,6 +143,7 @@ class SyntheticDataset:
             "intrs": np.stack(new_intrs).astype(np.float32),
             "c2ws": np.stack(c2ws).astype(np.float32),
             "scale_mat": (w2c_ref_inv @ scale_mat).astype(np.float32),
+            "scale_mat_raw": scale_mat.astype(np.float32),
             "near_fars": np.stack(new_near_fars).astype(np.float32),
             "w2c_ref": np.linalg.inv(w2c_ref_inv), "scale_factor": scale_factor,
         }
@@ -195,7 +196,8 @@ class SyntheticDataset:
         sph = rng2.randn(2048, 3)
         sph = sph / np.linalg.norm(sph, axis=1, keepdims=True) * self.radius_world
         pw = (s["w2c_ref"] @ np.concatenate([sph, np.ones((2048, 1))], 1).T).T[:, :3]
-        pseudo_pts = ((pw - s["scale_mat"][:3, 3]) / s["scale_mat"][0, 0]).astype(np.float32)
+        sm = s["scale_mat_raw"]
+        pseudo_pts = ((pw - sm[:3, 3]) / sm[0, 0]).astype(np.float32)
 
         out.update({
             "pixels_x": px, "pixels_y": py,

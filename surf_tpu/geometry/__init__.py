@@ -1,0 +1,6 @@
+from .mesh import Mesh
+from .marching_cubes import marching_cubes
+from .clean_mesh import clean_mesh, clean_mesh_by_mask, clean_mesh_outside_frustum
+
+__all__ = ["Mesh", "marching_cubes", "clean_mesh", "clean_mesh_by_mask",
+           "clean_mesh_outside_frustum"]

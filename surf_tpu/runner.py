@@ -1,0 +1,642 @@
+"""Training / validation / finetuning orchestration.
+
+Functional re-design of the reference runner.py:26-424:
+
+  * ``train``: epoch loop over scenes; per step a jitted value_and_grad of
+    the full cascade + renderer + loss, optax Adam with two LR groups
+    (mlp_lr for the implicit surface, feat_lr for feature/reg/volume nets,
+    surf.py:36-45) under a fractional-epoch warmup-cosine schedule; the
+    frozen match-feature network refreshed on even epochs (surf.py:141-148);
+    checkpoints (params/state/opt/epoch) every ``save_freq`` epochs.
+  * ``validate``: per scene, build volumes once, extract a mesh via chunked
+    TPU SDF evaluation + host marching cubes, render the full image in ray
+    chunks, export .ply/PNG/NPY artifacts in the reference's directory
+    layout (meshes/, val_img/, val_normal/, val_sdf_depth/,
+    val_render_depth/, val_auxi_depth/) and log PSNR / masked depth-L1.
+  * ``finetune``: volumes initialized once from all views then treated as
+    trainable leaves with per-stage LRs (vol_lr), only the implicit surface
+    MLPs + volumes updated; volume-only checkpoints via get_params_vol
+    semantics.
+
+Multi-chip: data parallelism shards scenes over a ``data`` mesh axis
+(surf_tpu/parallel) — gradients are averaged by XLA collectives instead of
+NCCL DDP (reference utils/distribute.py).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import json
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from .config import ConfigFactory
+from .data import get_loader
+from .nn import surf, feature_net, implicit_surface, sdf_net
+from .losses import compute_loss, make_loss_config
+from .geometry import Mesh, marching_cubes, clean_mesh
+from .utils import (to_device, tensor2float, DictAverageMeter, setup_seed,
+                    warmup_cosine, save_checkpoint, load_checkpoint, to_jax)
+from .utils.tools import save_scalars
+
+
+def _writer(log_dir):
+    try:
+        from tensorboardX import SummaryWriter
+        return SummaryWriter(log_dir)
+    except Exception:  # pragma: no cover - TB optional
+        class _Null:
+            def add_scalar(self, *a, **k):
+                pass
+        return _Null()
+
+
+def save_depth_png(depth, path, vmax=3.0):
+    """magma-colormapped depth PNG (runner.py:400-413)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.cm as cm
+    from PIL import Image
+    d = np.clip(np.asarray(depth, np.float64) / vmax, 0, 1)
+    rgb = (cm.get_cmap("magma")(d)[..., :3] * 255).astype(np.uint8)
+    Image.fromarray(rgb).save(path)
+
+
+class Runner:
+    def __init__(self, args):
+        self.mode = args.mode
+        self.conf = ConfigFactory.parse_file(args.conf)
+        self.args = args
+
+        self.epochs = self.conf.get_int("train.epochs")
+        self.base_exp_dir = self.conf["general.base_exp_dir"]
+        if self.mode == "finetune":
+            scene = args.scene or self.conf["finetune_dataset.scene"]
+            ref_view = args.ref_view if args.ref_view is not None \
+                else self.conf["finetune_dataset.ref_view"]
+            self.conf["finetune_dataset"]["scene"] = scene
+            self.conf["finetune_dataset"]["ref_view"] = ref_view
+            self.base_exp_dir = os.path.join(self.base_exp_dir, str(scene),
+                                             f"view{ref_view}")
+        os.makedirs(self.base_exp_dir, exist_ok=True)
+
+        self.lr_conf = self.conf["train.lr_conf"]
+        self.log_freq = self.conf.get_float("train.log_freq")
+        self.save_freq = self.conf.get_float("train.save_freq")
+        self.val_freq = self.conf.get_float("train.val_freq")
+        self.anneal_end = self.conf.get_float("train.anneal_end", default=0.0)
+        self.warmup = self.conf.get_float("train.warmup")
+        self.alpha = self.conf.get_float("train.alpha")
+        self.mesh_resolution = getattr(args, "mesh_resolution", 512)
+        self.do_clean_mesh = getattr(args, "clean_mesh", False)
+        self.loss_cfg = make_loss_config(self.conf["train.loss"])
+        self.val_chunk = self.conf.get_int("train.val_ray_chunk", default=4096)
+
+        self.writer = _writer(os.path.join(self.base_exp_dir, "logs"))
+        self.key = setup_seed(getattr(args, "seed", 0))
+
+        if self.mode == "finetune":
+            self.finetune_dataset = get_loader(self.conf["finetune_dataset"], "finetune")
+        else:
+            if self.mode == "train":
+                self.train_loader, self.train_sampler, self.train_dataset = \
+                    get_loader(self.conf["train_dataset"], "train")
+            self.val_loader, self.val_sampler, self.val_dataset = \
+                get_loader(self.conf["val_dataset"], "val")
+
+        self.key, init_key = jax.random.split(self.key)
+        self.params, self.state, self.static = surf.init(init_key, self.conf["model"])
+        self.start_epoch = 0
+        self.has_vol = False
+        self.vol_state = None  # finetune-mode cached volumes
+
+        # optimizer: two LR groups scaled by a shared warmup-cosine schedule
+        self._steps_per_epoch = len(self.train_loader) if self.mode == "train" else 1
+        self._lr_scale = warmup_cosine(self.epochs, self.warmup, self.alpha)
+        self.optimizer = self._make_optimizer()
+        self.opt_state = self.optimizer.init(self._trainable(self.params))
+
+        if args.resume is not None:
+            print("Loading model...")
+            ckpt = load_checkpoint(args.resume)
+            if getattr(args, "load_vol", False):
+                self.vol_state = to_jax(ckpt["model"]["vol_state"])
+                self.params["implicit_surface"] = to_jax(
+                    ckpt["model"]["implicit_surface"])
+                self.has_vol = True
+            else:
+                self.params = to_jax(ckpt["model"])
+                if "state" in ckpt:
+                    self.state = to_jax(ckpt["state"])
+                if self.mode == "train" and "opt_state" in ckpt:
+                    print("Loading optimizer/scheduler state...")
+                    self.opt_state = jax.tree.map(
+                        jnp.asarray, ckpt["opt_state"],
+                        is_leaf=lambda x: isinstance(x, np.ndarray))
+                    self.opt_state = _restore_opt_state(
+                        self.optimizer, self._trainable(self.params), ckpt["opt_state"])
+                    self.start_epoch = int(ckpt["epoch"]) + 1
+
+        if self.mode == "finetune":
+            assert args.resume is not None, "You need to resume a ckpt"
+            self._init_volumes()
+
+        self._jit_cache = {}
+
+    # ------------------------------------------------------------------
+    # optimizer plumbing
+    # ------------------------------------------------------------------
+    def _label_fn(self, params):
+        def label(path_key):
+            return "mlp" if path_key == "implicit_surface" else "feat"
+        return {k: jax.tree.map(lambda _: label(k), v) for k, v in params.items()}
+
+    def _trainable(self, params):
+        return params
+
+    def _make_optimizer(self):
+        steps = max(self._steps_per_epoch, 1)
+        mlp_lr = float(self.lr_conf["mlp_lr"])
+        feat_lr = float(self.lr_conf.get("feat_lr", mlp_lr))
+
+        def sched(base):
+            return lambda step: base * self._lr_scale(step / steps)
+
+        return optax.multi_transform(
+            {"mlp": optax.adam(sched(mlp_lr)), "feat": optax.adam(sched(feat_lr))},
+            self._label_fn)
+
+    # ------------------------------------------------------------------
+    # train
+    # ------------------------------------------------------------------
+    def get_cos_anneal_ratio(self, step):
+        if self.anneal_end == 0.0:
+            return 1.0
+        return min(1.0, step / self.anneal_end)
+
+    def _train_step_fn(self):
+        if "train_step" in self._jit_cache:
+            return self._jit_cache["train_step"]
+
+        optimizer = self.optimizer
+        static = self.static
+        loss_cfg = self.loss_cfg
+
+        @jax.jit
+        def train_step(params, state, opt_state, batch, key, step_f, anneal):
+            def loss_fn(p):
+                outputs, new_state = surf.forward(
+                    key, p, state, static, "train", batch,
+                    cos_anneal_ratio=anneal, step=step_f)
+                res = compute_loss(loss_cfg, outputs, batch, step_f, "train")
+                psnr = 20.0 * jnp.log10(
+                    1.0 / jnp.sqrt(jnp.mean(
+                        (outputs["color_fine"] - batch["color"]) ** 2)))
+                res["psnr"] = psnr
+                return res["loss"], (res, new_state)
+
+            (loss, (res, new_state)), grads = \
+                jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, new_opt = optimizer.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            return new_params, new_state, new_opt, res
+
+        self._jit_cache["train_step"] = train_step
+        return train_step
+
+    def train(self):
+        train_step = self._train_step_fn()
+        for epoch in range(self.start_epoch, self.epochs):
+            self.train_loader.set_epoch(epoch)
+            if epoch % 2 == 0:
+                # even-step refresh of the frozen matching feature network
+                self.state = surf.refresh_match_features(self.params, self.state)
+
+            avg = DictAverageMeter()
+            n = len(self.train_loader)
+            t0 = time.time()
+            for batch_idx, inputs in enumerate(self.train_loader):
+                batch = to_device(inputs)
+                step_f = epoch + batch_idx / n
+                anneal = self.get_cos_anneal_ratio(step_f)
+                self.key, k = jax.random.split(self.key)
+                self.params, self.state, self.opt_state, res = train_step(
+                    self.params, self.state, self.opt_state, batch, k,
+                    jnp.float32(step_f), jnp.float32(anneal))
+                scalars = tensor2float(res)
+                avg.update(scalars)
+                global_step = batch_idx + epoch * n
+                if global_step % max(int(self.log_freq * n), 1) == 0:
+                    save_scalars(self.writer, "train", scalars, global_step)
+                    print(f"[epoch {epoch} {batch_idx}/{n}] "
+                          f"loss {scalars['loss']:.4f} color {scalars['color_loss']:.4f} "
+                          f"psnr {scalars.get('psnr', 0):.2f} "
+                          f"({(time.time() - t0) / (batch_idx + 1):.2f}s/it)")
+            save_scalars(self.writer, "train_avg", avg.avg_data, epoch)
+
+            if ((epoch + 1) % self.save_freq == 0) or (epoch + 1) >= self.epochs:
+                self.save(epoch)
+            if (epoch + 1) % self.val_freq == 0:
+                self.validate(epoch)
+
+    def save(self, epoch):
+        ckpt_dir = os.path.join(self.base_exp_dir, "checkpoints")
+        os.makedirs(ckpt_dir, exist_ok=True)
+        tree = {
+            "epoch": epoch,
+            "model": jax.tree.map(np.asarray, self.params),
+            "state": jax.tree.map(np.asarray, self.state),
+            "opt_state": jax.tree.map(np.asarray, _opt_state_to_tree(self.opt_state)),
+        }
+        save_checkpoint(os.path.join(ckpt_dir, f"model_{epoch:0>3}.ckpt.npz"), tree)
+
+    # ------------------------------------------------------------------
+    # validation / mesh extraction
+    # ------------------------------------------------------------------
+    def _build_volumes_jit(self):
+        if "build_volumes" not in self._jit_cache:
+            static = self.static
+
+            @jax.jit
+            def build(params, state, ipts, key):
+                features = feature_net.apply(params["feature_network"], ipts["imgs"])
+                outputs, stages, matching_volume, _ = surf.build_volumes(
+                    key, params, state, static, ipts, features,
+                    perturb=False, training=False)
+                return outputs, stages, matching_volume, features
+
+            self._jit_cache["build_volumes"] = build
+        return self._jit_cache["build_volumes"]
+
+    def _sdf_grid_jit(self):
+        if "sdf_grid" not in self._jit_cache:
+            static = self.static["implicit_surface"]
+
+            @jax.jit
+            def sdf_chunk(params, stages, pts):
+                grids = [g for g, _ in stages]
+                m = implicit_surface.occupancy_mask(grids, pts)
+                s = sdf_net.sdf_only(params["sdf_network"], static["sdf"], pts, stages)
+                # outside the active set the SDF is pinned positive (empty)
+                return jnp.where(m[:, None], s, 100.0)[:, 0]
+
+            self._jit_cache["sdf_grid"] = sdf_chunk
+        return self._jit_cache["sdf_grid"]
+
+    def _render_chunk_jit(self):
+        if "render_chunk" not in self._jit_cache:
+            static = self.static
+
+            @jax.jit
+            def render_chunk(params, key, rays_o, rays_d, near, far,
+                             matching_volume, stages, features, match_features,
+                             imgs, intrs, c2ws):
+                return implicit_surface.render(
+                    key, params["implicit_surface"], static["implicit_surface"],
+                    rays_o, rays_d, near, far, matching_volume, stages,
+                    features, match_features, imgs, intrs, c2ws, 1.0, None)
+
+            self._jit_cache["render_chunk"] = render_chunk
+        return self._jit_cache["render_chunk"]
+
+    def extract_geometry(self, params, stages, resolution, chunk=128 ** 3 // 16):
+        """Chunked SDF grid eval on device -> host marching cubes
+        (implicit_surface.py:337-357; the reference extracts -sdf at 0)."""
+        sdf_fn = self._sdf_grid_jit()
+        lin = np.linspace(-1, 1, resolution, dtype=np.float32)
+        u = np.zeros((resolution ** 2 * resolution,), np.float32)
+        # build flat chunk of points on host, eval on device
+        total = resolution ** 3
+        chunk_n = int(chunk)
+        xs, ys, zs = np.meshgrid(lin, lin, lin, indexing="ij")
+        pts_all = np.stack([xs.reshape(-1), ys.reshape(-1), zs.reshape(-1)], -1)
+        for s in range(0, total, chunk_n):
+            pts = pts_all[s:s + chunk_n]
+            pad = chunk_n - len(pts)
+            if pad:
+                pts = np.concatenate([pts, np.zeros((pad, 3), np.float32)])
+            vals = np.asarray(sdf_fn(params, stages, jnp.asarray(pts)))
+            u[s:s + chunk_n - pad if pad else s + chunk_n] = \
+                vals[: chunk_n - pad] if pad else vals
+        u = u.reshape(resolution, resolution, resolution)
+        verts, tris = marching_cubes(-u, 0.0)
+        verts = verts / (resolution - 1.0) * 2.0 - 1.0
+        return verts, tris, u
+
+    def render_full_image(self, params, key, ipts, stages, matching_volume,
+                          features, match_features):
+        render = self._render_chunk_jit()
+        rays_o = np.asarray(ipts["rays_o"])
+        rays_d = np.asarray(ipts["rays_d"])
+        n = len(rays_o)
+        near = np.full((n, 1), float(np.asarray(ipts["near"]).reshape(-1)[0]), np.float32)
+        far = np.full((n, 1), float(np.asarray(ipts["far"]).reshape(-1)[0]), np.float32)
+        chunk = self.val_chunk
+        outs = {"color_fine": [], "normal": [], "sdf_depth": [], "render_depth": [],
+                "gradients": [], "weights": [], "inside_sphere": []}
+        for s in range(0, n, chunk):
+            pad = max(0, chunk - (n - s))
+            sl = slice(s, s + chunk)
+            ro = np.concatenate([rays_o[sl], np.zeros((pad, 3), np.float32)]) \
+                if pad else rays_o[sl]
+            rd = np.concatenate([rays_d[sl], np.ones((pad, 3), np.float32)]) \
+                if pad else rays_d[sl]
+            key, k = jax.random.split(key)
+            r = render(params, k, jnp.asarray(ro), jnp.asarray(rd),
+                       jnp.asarray(near[:len(ro)]), jnp.asarray(far[:len(ro)]),
+                       matching_volume, stages, features, match_features,
+                       ipts["imgs"], ipts["intrs"], ipts["c2ws"])
+            take = chunk - pad
+            outs["color_fine"].append(np.asarray(r["color_fine"])[:take])
+            # normals weighted inside sphere (implicit_surface.py:380-382)
+            normals = np.asarray(r["gradients"]) * np.asarray(r["weights"])[..., None] \
+                * np.asarray(r["inside_sphere"])[..., None]
+            outs["normal"].append(normals.sum(axis=1)[:take])
+            outs["sdf_depth"].append(np.asarray(r["sdf_depth"])[:take])
+            outs["render_depth"].append(np.asarray(r["render_depth"])[:take])
+        h, w = [int(x) for x in np.asarray(ipts["hw"]).reshape(-1)]
+        color = np.concatenate(outs["color_fine"]).reshape(h, w, 3)
+        normal = np.concatenate(outs["normal"])
+        rot = np.linalg.inv(np.asarray(ipts["c2ws"])[0, :3, :3])
+        normal = (rot @ normal.T).T.reshape(h, w, 3)
+        sdf_depth = np.concatenate(outs["sdf_depth"]).reshape(h, w)
+        render_depth = np.concatenate(outs["render_depth"]).reshape(h, w)
+        return color, normal, sdf_depth, render_depth
+
+    def validate(self, epoch=0):
+        build = self._build_volumes_jit()
+        avg = DictAverageMeter()
+        for batch_idx, inputs in enumerate(self.val_loader):
+            ipts = to_device(inputs)
+            self.key, k1, k2 = jax.random.split(self.key, 3)
+
+            if self.has_vol:
+                stages, matching_volume, features = (
+                    self.vol_state["stages"], self.vol_state["matching_volume"],
+                    self.vol_state["features"])
+                mf_outputs = {}
+            else:
+                mf_outputs, stages, matching_volume, features = build(
+                    self.params, self.state, ipts, k1)
+
+            stages_ff = stages[::-1]
+            feats_ff = [f for f in features][::-1]
+
+            verts, tris, _ = self.extract_geometry(
+                self.params["implicit_surface"], stages_ff, self.mesh_resolution)
+            mesh = Mesh(verts, tris)
+            if self.do_clean_mesh and "masks" in inputs:
+                mesh = clean_mesh(mesh, np.asarray(inputs["masks"]),
+                                  np.asarray(inputs["intrs"]),
+                                  np.asarray(inputs["c2ws"]))
+            mesh.apply_transform(np.asarray(inputs["scale_mat"]))
+
+            scene = inputs["scene"]
+            file_name = inputs["file_name"]
+            os.makedirs(os.path.join(self.base_exp_dir, "meshes"), exist_ok=True)
+            mesh.export(os.path.join(self.base_exp_dir, "meshes",
+                                     f"{scene}_epoch{epoch}.ply"))
+
+            color, normal, sdf_depth, render_depth = self.render_full_image(
+                self.params, k2, ipts, stages_ff, matching_volume,
+                feats_ff, feats_ff)
+
+            from PIL import Image
+            for sub in ["val_img", "val_normal", "val_sdf_depth",
+                        "val_render_depth", "val_auxi_depth"]:
+                os.makedirs(os.path.join(self.base_exp_dir, sub), exist_ok=True)
+            img_fine = (color * 256).clip(0, 255).astype(np.uint8)
+            normal_img = (normal * 128 + 128).clip(0, 255).astype(np.uint8)
+            Image.fromarray(img_fine).save(os.path.join(
+                self.base_exp_dir, "val_img", f"{file_name}_epoch{epoch}.png"))
+            Image.fromarray(normal_img).save(os.path.join(
+                self.base_exp_dir, "val_normal", f"{file_name}_epoch{epoch}.png"))
+            save_depth_png(render_depth, os.path.join(
+                self.base_exp_dir, "val_render_depth", f"{file_name}_epoch{epoch}.png"))
+            save_depth_png(sdf_depth, os.path.join(
+                self.base_exp_dir, "val_sdf_depth", f"{file_name}_epoch{epoch}.png"))
+            np.save(os.path.join(self.base_exp_dir, "val_render_depth",
+                                 f"{file_name}_epoch{epoch}.npy"), render_depth)
+            np.save(os.path.join(self.base_exp_dir, "val_sdf_depth",
+                                 f"{file_name}_epoch{epoch}.npy"), sdf_depth)
+            if f"depth_stage0" in mf_outputs:
+                auxi = np.asarray(mf_outputs["depth_stage0"])
+                save_depth_png(auxi, os.path.join(
+                    self.base_exp_dir, "val_auxi_depth", f"{file_name}_epoch{epoch}.png"))
+                np.save(os.path.join(self.base_exp_dir, "val_auxi_depth",
+                                     f"{file_name}_epoch{epoch}.npy"), auxi)
+
+            # metrics (runner.py:257-276)
+            gt_color = np.asarray(inputs["color"])
+            mse = float(((color.reshape(-1, 3) - gt_color) ** 2).mean())
+            psnr = 20.0 * np.log10(1.0 / max(np.sqrt(mse), 1e-10))
+            scalars = {"psnr": psnr, "color_loss": float(
+                np.abs(color.reshape(-1, 3) - gt_color).mean())}
+            if "depth_ref" in inputs:
+                depth_ref = np.asarray(inputs["depth_ref"])
+                skip = max(depth_ref.shape[0] // render_depth.shape[0], 1)
+                depth_ref = depth_ref[::skip, ::skip][:render_depth.shape[0],
+                                                      :render_depth.shape[1]]
+                m = depth_ref > 0
+                scalars["render_depth_loss"] = float(
+                    (np.abs(render_depth - depth_ref) * m).sum() / (m.sum() + 1e-8))
+                msdf = m * (sdf_depth > 0)
+                scalars["sdf_depth_loss"] = float(
+                    (np.abs(sdf_depth - depth_ref) * msdf).sum() / (msdf.sum() + 1e-8))
+            avg.update(scalars)
+            print(f"[val {scene}] " + " ".join(
+                f"{k}={v:.4f}" for k, v in scalars.items()))
+        save_scalars(self.writer, "val_img_avg", avg.avg_data, epoch)
+        return avg.avg_data
+
+    # ------------------------------------------------------------------
+    # finetune
+    # ------------------------------------------------------------------
+    def _init_volumes(self):
+        """One no-grad cascade pass -> trainable volume pytree
+        (surf.py:65-78, runner.py:88-91)."""
+        ipts = to_device(self.finetune_dataset.get_all_images())
+        self.key, k = jax.random.split(self.key)
+        features = feature_net.apply(self.params["feature_network"], ipts["imgs"])
+        _, stages, matching_volume, _ = surf.build_volumes(
+            k, self.params, self.state, self.static, ipts, features,
+            perturb=False, training=False)
+        self.vol_state = {
+            "volumes": [jax.lax.stop_gradient(st) for _, st in stages],
+            "grids": [g for g, _ in stages],
+            "matching_volume": jax.lax.stop_gradient(matching_volume),
+            "features": [jax.lax.stop_gradient(f) for f in features],
+        }
+        self.vol_state["stages"] = [
+            (g, v) for g, v in zip(self.vol_state["grids"], self.vol_state["volumes"])]
+        self.has_vol = True
+        # finetune optimizer: implicit-surface MLPs + per-stage volume LRs
+        vol_lrs = [float(v) for v in self.lr_conf.get("vol_lr",
+                                                      [1e-1, 1e-2, 1e-2, 1e-3])]
+        steps = self.epochs
+
+        def sched(base):
+            return lambda step: base * self._lr_scale(step)
+
+        transforms = {"mlp": optax.adam(sched(float(self.lr_conf["mlp_lr"])))}
+        labels_vol = []
+        for i in range(len(self.vol_state["volumes"])):
+            name = f"vol{i}"
+            transforms[name] = optax.adam(sched(vol_lrs[min(i, len(vol_lrs) - 1)]))
+            labels_vol.append(name)
+
+        def label_fn(p):
+            return {"implicit_surface": jax.tree.map(lambda _: "mlp",
+                                                     p["implicit_surface"]),
+                    "volumes": [jax.tree.map(lambda _: labels_vol[i], v)
+                                for i, v in enumerate(p["volumes"])]}
+
+        self.ft_optimizer = optax.multi_transform(transforms, label_fn)
+        self.ft_params = {"implicit_surface": self.params["implicit_surface"],
+                          "volumes": self.vol_state["volumes"]}
+        self.ft_opt_state = self.ft_optimizer.init(self.ft_params)
+
+    def _finetune_step_fn(self):
+        if "ft_step" in self._jit_cache:
+            return self._jit_cache["ft_step"]
+        static = self.static
+        loss_cfg = self.loss_cfg
+        optimizer = self.ft_optimizer
+        grids = self.vol_state["grids"]
+        matching_volume = self.vol_state["matching_volume"]
+        all_features = self.vol_state["features"]
+
+        @jax.jit
+        def ft_step(ft_params, opt_state, batch, key, step_f, anneal):
+            view_ids = batch["view_ids"]
+
+            def loss_fn(p):
+                stages = [(g, v) for g, v in zip(grids, p["volumes"])]
+                stages_ff = stages[::-1]
+                feats = [jnp.take(f, view_ids, axis=0) for f in all_features]
+                feats_ff = feats[::-1]
+                out = implicit_surface.render(
+                    key, p["implicit_surface"], static["implicit_surface"],
+                    batch["rays_o"], batch["rays_d"], batch["near"], batch["far"],
+                    matching_volume, stages_ff, feats_ff, feats_ff,
+                    batch["imgs"], batch["intrs"], batch["c2ws"], anneal, step_f)
+                if "pseudo_pts" in batch:
+                    out["pseudo_sdf"] = implicit_surface.pseudo_sdf(
+                        p["implicit_surface"], static["implicit_surface"],
+                        batch["pseudo_pts"], stages_ff)
+                res = compute_loss(loss_cfg, out, batch, step_f, "finetune")
+                psnr = 20.0 * jnp.log10(1.0 / jnp.sqrt(
+                    jnp.mean((out["color_fine"] - batch["color"]) ** 2)))
+                res["psnr"] = psnr
+                return res["loss"], res
+
+            (loss, res), grads = jax.value_and_grad(loss_fn, has_aux=True)(ft_params)
+            updates, new_opt = optimizer.update(grads, opt_state, ft_params)
+            return optax.apply_updates(ft_params, updates), new_opt, res
+
+        self._jit_cache["ft_step"] = ft_step
+        return ft_step
+
+    def finetune(self):
+        ft_step = self._finetune_step_fn()
+        ds = self.finetune_dataset
+        avg = DictAverageMeter()
+        perm = np.random.permutation(ds.num_views)
+        t0 = time.time()
+        for step in range(self.start_epoch, self.epochs):
+            vid = int(perm[step % len(perm)])
+            batch = to_device(ds.get_random_rays(vid))
+            self.key, k = jax.random.split(self.key)
+            anneal = self.get_cos_anneal_ratio(step)
+            self.ft_params, self.ft_opt_state, res = ft_step(
+                self.ft_params, self.ft_opt_state, batch, k,
+                jnp.float32(step), jnp.float32(anneal))
+            scalars = tensor2float(res)
+            avg.update(scalars)
+            if (step + 1) % max(int(self.log_freq), 1) == 0:
+                save_scalars(self.writer, "finetune", scalars, step)
+                print(f"[ft {step}] loss {scalars['loss']:.4f} "
+                      f"psnr {scalars['psnr']:.2f} "
+                      f"({(time.time() - t0) / (step + 1):.2f}s/it)")
+            if (step + 1) % len(perm) == 0:
+                perm = np.random.permutation(ds.num_views)
+            if ((step + 1) % self.save_freq == 0) or (step + 1) >= self.epochs:
+                self.save_finetune(step)
+            if ((step + 1) % self.val_freq == 0) or (step + 1) >= self.epochs:
+                self.validate_finetune(step)
+
+    def save_finetune(self, step):
+        """Volume-only checkpoint (get_params_vol, surf.py:56-63)."""
+        ckpt_dir = os.path.join(self.base_exp_dir, "checkpoints")
+        os.makedirs(ckpt_dir, exist_ok=True)
+        tree = {
+            "epoch": step,
+            "model": {
+                "vol_state": jax.tree.map(np.asarray, {
+                    "volumes": self.ft_params["volumes"],
+                    "grids": self.vol_state["grids"],
+                    "matching_volume": self.vol_state["matching_volume"],
+                    "features": self.vol_state["features"],
+                }),
+                "implicit_surface": jax.tree.map(
+                    np.asarray, self.ft_params["implicit_surface"]),
+            },
+        }
+        save_checkpoint(os.path.join(ckpt_dir, f"model_{step:0>3}.ckpt.npz"), tree)
+
+    def validate_finetune(self, step):
+        ds = self.finetune_dataset
+        ipts = to_device(ds.get_rays_at(0))
+        params = dict(self.params)
+        params["implicit_surface"] = self.ft_params["implicit_surface"]
+        stages = [(g, v) for g, v in zip(self.vol_state["grids"],
+                                         self.ft_params["volumes"])]
+        stages_ff = stages[::-1]
+        vids = np.asarray(ipts["view_ids"])
+        feats = [jnp.take(f, jnp.asarray(vids), axis=0)
+                 for f in self.vol_state["features"]]
+        feats_ff = feats[::-1]
+
+        verts, tris, _ = self.extract_geometry(
+            params["implicit_surface"], stages_ff, self.mesh_resolution)
+        mesh = Mesh(verts, tris)
+        mesh.apply_transform(np.asarray(ipts["scale_mat"]))
+        os.makedirs(os.path.join(self.base_exp_dir, "meshes"), exist_ok=True)
+        mesh.export(os.path.join(self.base_exp_dir, "meshes",
+                                 f"{ipts['scene']}_step{step}.ply"))
+        self.key, k = jax.random.split(self.key)
+        color, normal, sdf_depth, render_depth = self.render_full_image(
+            params, k, ipts, stages_ff, self.vol_state["matching_volume"],
+            feats_ff, feats_ff)
+        gt = np.asarray(ipts["color"])
+        psnr = 20.0 * np.log10(1.0 / max(
+            np.sqrt(((color.reshape(-1, 3) - gt) ** 2).mean()), 1e-10))
+        print(f"[ft-val step {step}] psnr {psnr:.3f}")
+
+    # ------------------------------------------------------------------
+    def run(self):
+        if self.mode == "train":
+            self.train()
+        elif self.mode == "val":
+            self.validate()
+        elif self.mode == "finetune":
+            self.finetune()
+        else:
+            raise NotImplementedError(f"Not implemented mode {self.mode}!")
+
+
+def _opt_state_to_tree(opt_state):
+    return jax.tree.map(np.asarray, jax.tree_util.tree_map(lambda x: x, opt_state))
+
+
+def _restore_opt_state(optimizer, params, tree):
+    """Rebuild the optax state structure from saved leaves."""
+    template = optimizer.init(params)
+    leaves_saved = jax.tree_util.tree_leaves(tree)
+    treedef = jax.tree_util.tree_structure(template)
+    return jax.tree_util.tree_unflatten(
+        treedef, [jnp.asarray(x) for x in leaves_saved])

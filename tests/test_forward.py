@@ -25,9 +25,10 @@ def setup():
 
 def test_forward_shapes_and_finiteness(setup):
     conf, ipts, params, state, static = setup
-    outputs, new_state = surf.forward(
-        jax.random.PRNGKey(1), params, state, static, "train", ipts,
-        cos_anneal_ratio=0.5, step=0.0)
+    fwd = jax.jit(lambda p, s, b: surf.forward(
+        jax.random.PRNGKey(1), p, s, static, "train", b,
+        cos_anneal_ratio=0.5, step=0.0))
+    outputs, new_state = fwd(params, state, ipts)
     n_rays = ipts["rays_o"].shape[0]
     assert outputs["color_fine"].shape == (n_rays, 3)
     assert outputs["render_depth"].shape == (n_rays,)
@@ -50,7 +51,8 @@ def test_loss_and_grads(setup):
         res = compute_loss(cfg, outputs, ipts, step=0.5, mode="train")
         return res["loss"], res
 
-    (loss, res), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    (loss, res), grads = jax.jit(
+        jax.value_and_grad(loss_fn, has_aux=True))(params)
     assert np.isfinite(float(loss))
     # every major component contributes a finite value
     for k, v in res.items():
