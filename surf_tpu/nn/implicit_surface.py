@@ -50,6 +50,14 @@ def init(key, conf):
     return params, static
 
 
+def _safe_norm(x, axis=-1, keepdims=False, eps=1e-12):
+    """sqrt(sum(x^2)+eps): finite gradients at x=0, unlike jnp.linalg.norm.
+    Needed because masked points carry exact-zero gradients/smooth vectors
+    in the compute-all+mask design (the reference never evaluates norms at
+    masked points thanks to boolean indexing)."""
+    return jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=keepdims) + eps)
+
+
 def occupancy_mask(grids, pts):
     """Point visibility: nearest-voxel occupancy in ANY stage
     (implicit_surface.py:86: lookup_volume(mask_volumes,'nearest').any)."""
@@ -178,9 +186,9 @@ def render_core(key, params, static, rays_o, rays_d, z_vals, sample_dist,
     ray_cos = cam_d[:, 2]
     render_depth = jnp.sum(mid_z * weights, axis=-1) * ray_cos
 
-    gradient_error = ((jnp.linalg.norm(grads_rs, axis=-1) - 1.0) ** 2 * relax_inside).sum() \
+    gradient_error = ((_safe_norm(grads_rs) - 1.0) ** 2 * relax_inside).sum() \
         / (relax_inside.sum() + 1e-5)
-    smooth_error = (jnp.linalg.norm(smooth, axis=-1).reshape(nr, ns) * inside_sphere).sum() \
+    smooth_error = (_safe_norm(smooth).reshape(nr, ns) * inside_sphere).sum() \
         / (inside_sphere.sum() + 1e-5)
 
     # random sparse-SDF sample (lines 174-178)
@@ -217,7 +225,9 @@ def render_core(key, params, static, rays_o, rays_d, z_vals, sample_dist,
     sdf2 = take(sdf_d, next_idx)
     z1 = take(mid_z, prev_idx)
     z2 = take(mid_z, next_idx)
-    z_sdf0 = (sdf1 * z2 - sdf2 * z1) / (sdf1 - sdf2 + 1e-10)
+    denom = sdf1 - sdf2
+    denom = jnp.where(jnp.abs(denom) < 1e-6, jnp.where(denom < 0, -1e-6, 1e-6), denom)
+    z_sdf0 = (sdf1 * z2 - sdf2 * z1) / denom
     sdf_depth = z_sdf0 * ray_cos[:, None] * mid_inside
 
     max_z = jnp.max(z_vals)

@@ -100,19 +100,21 @@ def apply(key, conf_static, ipts, matching_volume, stage_idx, range_ratios,
 
     nv = intrs.shape[0]
     keys = jax.random.split(key, nv)
-    depths = []
-    occ_regs = []
-    for i in range(nv):
-        rays_o, rays_d = pixels_to_rays(pixels, intrs[i], c2ws[i])
-        near_ori = near_fars[i, 0]
-        far_ori = near_fars[i, 1]
+    # gradient gate per view: identity where grads are kept, stop_gradient
+    # elsewhere — differentiable masking replacing the reference's no_grad
+    # branch (matching_field.py:129-133).  The whole per-view computation is
+    # vmapped to keep the lowered graph size independent of nv.
+    keep_grad = (jnp.arange(nv) == 0) | (jnp.arange(nv) == jnp.asarray(src_idx))
+
+    def per_view(k, intr, c2w, near_far, pre_depth, keep):
+        rays_o, rays_d = pixels_to_rays(pixels, intr, c2w)
+        near_ori, far_ori = near_far[0], near_far[1]
         if pre_depths is not None:
-            pre = jax.lax.stop_gradient(pre_depths[i])
+            pre = jax.lax.stop_gradient(pre_depth)
             px = jnp.floor(pixels[:, 0]).astype(jnp.int32)
             py = jnp.floor(pixels[:, 1]).astype(jnp.int32)
-            pre_depth = pre[py, px]
-            cos = ray_z_cos(rays_d, c2ws[i])
-            pre_z = pre_depth / cos
+            cos = ray_z_cos(rays_d, c2w)
+            pre_z = pre[py, px] / cos
             base_range = far_ori - near_ori
             near_s, far_s = _band_from_depth(
                 pre_z, base_range * range_ratios[stage_idx], near_ori, far_ori)
@@ -124,19 +126,18 @@ def apply(key, conf_static, ipts, matching_volume, stage_idx, range_ratios,
             near = jnp.full((rays_o.shape[0], 1), near_ori)
             far = jnp.full((rays_o.shape[0], 1), far_ori)
 
-        keep_grad = jnp.logical_or(jnp.asarray(i == 0), jnp.asarray(src_idx) == i)
-        d, occ = depth_render(keys[i], rays_o, rays_d, near, far, c2ws[i],
+        d, occ = depth_render(k, rays_o, rays_d, near, far, c2w,
                               matching_volume, n_samples,
-                              perturb=perturb, perturb_gate=keep_grad)
-        # gradient gate: identity where grads are kept, stop_gradient
-        # elsewhere — differentiable masking replacing the reference's
-        # no_grad branch (matching_field.py:129-133)
-        d = jnp.where(keep_grad, d, jax.lax.stop_gradient(d))
-        occ = jnp.where(keep_grad, occ, jax.lax.stop_gradient(occ))
-
+                              perturb=perturb, perturb_gate=keep)
+        d = jnp.where(keep, d, jax.lax.stop_gradient(d))
+        occ = jnp.where(keep, occ, jax.lax.stop_gradient(occ))
         d = d.reshape(h, w)
         if level != 1:
             d = resize_bilinear_2d(d[..., None], (img_h, img_w))[..., 0]
-        depths.append(d)
-        occ_regs.append(occ)
-    return jnp.stack(depths), jnp.stack(occ_regs)
+        return d, occ
+
+    pre_arg = pre_depths if pre_depths is not None \
+        else jnp.zeros((nv, 1, 1), jnp.float32)
+    depths, occ_regs = jax.vmap(per_view)(
+        keys, intrs, c2ws, near_fars, pre_arg, keep_grad)
+    return depths, occ_regs

@@ -21,8 +21,9 @@ import jax.numpy as jnp
 
 from .core import linear_init, linear_apply, elu
 from ..ops import (
-    bilinear_sample_2d, project_points, pixel_to_normalized, in_frustum_mask,
+    bilinear_sample_2d, pixel_to_normalized, in_frustum_mask,
 )
+from ..ops.projection import project_points_all
 from ..ops import sparse as sp
 
 
@@ -42,13 +43,9 @@ def back_project(params, features, world_pts, intrs, c2ws, stage_idx, hw):
     nv = intrs.shape[0]
     h, w = features[-1].shape[1:3]
 
-    xy_all, depth_all, mask_all = [], [], []
-    for v in range(nv):
-        xy, depth = project_points(world_pts, intrs[v], c2ws[v])
-        xy_all.append(xy)
-        depth_all.append(depth)
-    xy = jax.lax.stop_gradient(jnp.stack(xy_all))         # (nv, N, 2)
-    depth = jax.lax.stop_gradient(jnp.stack(depth_all))   # (nv, N)
+    xy, depth = project_points_all(world_pts, intrs, c2ws)  # (nv, N, 2/[])
+    xy = jax.lax.stop_gradient(xy)
+    depth = jax.lax.stop_gradient(depth)
     # normalization uses the *finest* feature resolution (volume.py:62,73-74)
     grid = pixel_to_normalized(xy, (h, w))
     mask = in_frustum_mask(xy, depth, (h, w), inclusive=True)  # (nv, N)
@@ -80,14 +77,14 @@ def depth_consistency(world_pts, cand_valid, depths, intrs, c2ws, stage_range):
     Returns (count (N,), keep (N,)) with keep = count > 1 & cand_valid.
     """
     nv, H, W = depths.shape
-    counts = jnp.zeros(world_pts.shape[0], jnp.int32)
-    for v in range(nv):
-        xy, depth = project_points(world_pts, intrs[v], c2ws[v])
-        grid = pixel_to_normalized(xy, (H, W))
-        mask = in_frustum_mask(xy, depth, (H, W), inclusive=True)
-        warp = bilinear_sample_2d(depths[v][..., None], grid, align_corners=True)[..., 0]
-        ok = (jnp.abs(warp - depth) < stage_range) & mask
-        counts = counts + ok.astype(jnp.int32)
+    xy, depth = project_points_all(world_pts, intrs, c2ws)   # (nv, N, ...)
+    grid = pixel_to_normalized(xy, (H, W))
+    mask = in_frustum_mask(xy, depth, (H, W), inclusive=True)
+    warp = jax.vmap(
+        lambda d, g: bilinear_sample_2d(d[..., None], g, align_corners=True)[..., 0]
+    )(depths, grid)
+    ok = (jnp.abs(warp - depth) < stage_range) & mask
+    counts = jnp.sum(ok.astype(jnp.int32), axis=0)
     keep = (counts > 1) & cand_valid
     return counts, keep
 

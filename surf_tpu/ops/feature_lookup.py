@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from .grid_sample import bilinear_sample_2d
-from .projection import project_points, pixel_to_normalized, compute_ray_diff
+from .projection import project_points_all, pixel_to_normalized, compute_ray_diff
 
 
 def lookup_feature(pts, imgs, intrs, c2ws, features):
@@ -38,26 +38,24 @@ def lookup_feature(pts, imgs, intrs, c2ws, features):
     for i, feat in enumerate(features):
         h, w = feat.shape[1:3]
         scale = 0.5 ** i
-        level_feats = []
-        level_masks = []
-        level_rgb = []
-        for s in range(nsrc):
-            intr = src_intrs[s].at[:2].multiply(scale)
-            xy, depth = project_points(pts, intr, src_c2ws[s])
-            xy = jax.lax.stop_gradient(xy)
-            depth = jax.lax.stop_gradient(depth)
-            m = (depth > 0) & (xy[..., 0] >= 0) & (xy[..., 0] < w) & \
-                (xy[..., 1] >= 0) & (xy[..., 1] < h)
-            grid = pixel_to_normalized(xy, (h, w))
-            # F.grid_sample default align_corners=False (projector.py:544)
-            level_feats.append(bilinear_sample_2d(feat[1 + s], grid, align_corners=False))
-            level_masks.append(m)
-            if i == 0:
-                level_rgb.append(bilinear_sample_2d(imgs[1 + s], grid, align_corners=False))
-        warped_levels.append(jnp.stack(level_feats, axis=1))   # (n, nsrc, c)
-        masks.append(jnp.stack(level_masks, axis=1))           # (n, nsrc)
+        intrs_i = src_intrs.at[:, :2].multiply(scale)
+        xy, depth = project_points_all(pts, intrs_i, src_c2ws)  # (s, n, ...)
+        xy = jax.lax.stop_gradient(xy)
+        depth = jax.lax.stop_gradient(depth)
+        m = (depth > 0) & (xy[..., 0] >= 0) & (xy[..., 0] < w) & \
+            (xy[..., 1] >= 0) & (xy[..., 1] < h)
+        grid = pixel_to_normalized(xy, (h, w))
+        # F.grid_sample default align_corners=False (projector.py:544)
+        warped = jax.vmap(
+            lambda f, g: bilinear_sample_2d(f, g, align_corners=False)
+        )(feat[1:], grid)                                       # (s, n, c)
+        warped_levels.append(jnp.transpose(warped, (1, 0, 2)))  # (n, s, c)
+        masks.append(jnp.transpose(m, (1, 0)))                  # (n, s)
         if i == 0:
-            warped_rgb = jnp.stack(level_rgb, axis=1)          # (n, nsrc, 3)
+            rgb = jax.vmap(
+                lambda f, g: bilinear_sample_2d(f, g, align_corners=False)
+            )(imgs[1:], grid)
+            warped_rgb = jnp.transpose(rgb, (1, 0, 2))          # (n, s, 3)
 
     warped = jnp.concatenate(warped_levels, axis=-1)
     mask = jnp.stack(masks, axis=-1).all(axis=-1)

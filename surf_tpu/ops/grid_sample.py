@@ -32,6 +32,13 @@ import jax
 import jax.numpy as jnp
 
 
+# (8, 3) binary corner offsets shared by the stacked-gather interpolators
+_CORNER_OFFSETS = jnp.array(
+    [[(k >> 2) & 1, (k >> 1) & 1, k & 1] for k in range(8)], dtype=jnp.int32)
+_CORNER_OFFSETS_2D = jnp.array(
+    [[0, 0], [1, 0], [0, 1], [1, 1]], dtype=jnp.int32)
+
+
 def _unnormalize(c, size, align_corners):
     if align_corners:
         return (c + 1.0) * 0.5 * (size - 1)
@@ -54,30 +61,21 @@ def bilinear_sample_2d(image, coords, *, normalized=True, align_corners=True):
         x = _unnormalize(x, W, align_corners)
         y = _unnormalize(y, H, align_corners)
 
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    # weights from *unclamped* corner positions (exact torch semantics)
-    wx1 = x - x0
-    wy1 = y - y0
-    wx0 = 1.0 - wx1
-    wy0 = 1.0 - wy1
+    xy = jnp.stack([x, y], axis=-1)
+    c0 = jnp.floor(xy)
+    frac = xy - c0
+    c0i = c0.astype(jnp.int32)
 
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
-
-    out = None
-    flat = image.reshape(H * W, C)
-    for dy, wy in ((0, wy0), (1, wy1)):
-        for dx, wx in ((0, wx0), (1, wx1)):
-            xi = x0i + dx
-            yi = y0i + dy
-            valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
-            xi_c = jnp.clip(xi, 0, W - 1)
-            yi_c = jnp.clip(yi, 0, H - 1)
-            val = flat[(yi_c * W + xi_c).reshape(-1)].reshape(*xi.shape, C)
-            w = (wx * wy * valid.astype(image.dtype))[..., None]
-            out = val * w if out is None else out + val * w
-    return out
+    corners = c0i[..., None, :] + _CORNER_OFFSETS_2D        # (..., 4, 2) x,y
+    dims = jnp.array([W, H], jnp.int32)
+    valid = jnp.all((corners >= 0) & (corners < dims), axis=-1)
+    cc = jnp.clip(corners, 0, dims - 1)
+    idx = cc[..., 1] * W + cc[..., 0]
+    vals = image.reshape(H * W, C)[idx.reshape(-1)].reshape(*idx.shape, C)
+    offs = _CORNER_OFFSETS_2D.astype(image.dtype)
+    w = jnp.prod(jnp.where(offs > 0, frac[..., None, :], 1.0 - frac[..., None, :]),
+                 axis=-1) * valid.astype(image.dtype)
+    return jnp.sum(vals * w[..., None], axis=-2)
 
 
 def nearest_sample_2d(image, coords, *, normalized=True, align_corners=True):
@@ -116,34 +114,24 @@ def trilinear_sample_3d(volume, coords, *, normalized=True, align_corners=True):
         y = _unnormalize(y, Y, align_corners)
         z = _unnormalize(z, Z, align_corners)
 
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    z0 = jnp.floor(z)
-    fx = x - x0
-    fy = y - y0
-    fz = z - z0
+    c0 = jnp.floor(jnp.stack([x, y, z], axis=-1))
+    frac = jnp.stack([x, y, z], axis=-1) - c0
+    c0i = c0.astype(jnp.int32)
 
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
-    z0i = z0.astype(jnp.int32)
-
-    flat = volume.reshape(X * Y * Z, C)
-    out = None
-    for dz, wz in ((0, 1.0 - fz), (1, fz)):
-        for dy, wy in ((0, 1.0 - fy), (1, fy)):
-            for dx, wx in ((0, 1.0 - fx), (1, fx)):
-                xi = x0i + dx
-                yi = y0i + dy
-                zi = z0i + dz
-                valid = (xi >= 0) & (xi < X) & (yi >= 0) & (yi < Y) & (zi >= 0) & (zi < Z)
-                xi_c = jnp.clip(xi, 0, X - 1)
-                yi_c = jnp.clip(yi, 0, Y - 1)
-                zi_c = jnp.clip(zi, 0, Z - 1)
-                idx = (xi_c * Y + yi_c) * Z + zi_c
-                val = flat[idx.reshape(-1)].reshape(*xi.shape, C)
-                w = (wx * wy * wz * valid.astype(volume.dtype))[..., None]
-                out = val * w if out is None else out + val * w
-    return out
+    # all 8 corners in one stacked gather (keeps the lowered graph small)
+    corners = c0i[..., None, :] + _CORNER_OFFSETS          # (..., 8, 3)
+    dims = jnp.array([X, Y, Z], jnp.int32)
+    valid = jnp.all((corners >= 0) & (corners < dims), axis=-1)
+    cc = jnp.clip(corners, 0, dims - 1)
+    idx = (cc[..., 0] * Y + cc[..., 1]) * Z + cc[..., 2]   # (..., 8)
+    vals = volume.reshape(X * Y * Z, C)[idx.reshape(-1)]
+    vals = vals.reshape(*idx.shape, C)                      # (..., 8, C)
+    # weight per corner: prod over axes of (frac if offset else 1-frac)
+    offs = _CORNER_OFFSETS.astype(volume.dtype)             # (8, 3)
+    w = jnp.prod(jnp.where(offs > 0, frac[..., None, :], 1.0 - frac[..., None, :]),
+                 axis=-1)                                   # (..., 8)
+    w = w * valid.astype(volume.dtype)
+    return jnp.sum(vals * w[..., None], axis=-2)
 
 
 def nearest_sample_3d(volume, coords, *, normalized=True, align_corners=True):

@@ -43,6 +43,21 @@ def project_points(pts, intr, c2w):
     return cam_to_pixel(world_to_cam(pts, c2w), intr)
 
 
+def project_points_all(pts, intrs, c2ws):
+    """Project the same points into every view at once.
+
+    pts (N, 3); intrs/c2ws (V, 4, 4) -> (xy (V, N, 2), depth (V, N)).
+    One einsum pair instead of a per-view Python loop (smaller jaxprs,
+    better MXU batching).
+    """
+    w2cs = jnp.linalg.inv(c2ws)
+    cam = jnp.einsum("vij,nj->vni", w2cs[:, :3, :4], to_homo(pts))
+    proj = jnp.einsum("vij,vnj->vni", intrs[:, :3, :3], cam)
+    depth = proj[..., 2]
+    xy = proj[..., :2] / (depth[..., None] + 1e-10)
+    return xy, depth
+
+
 def pixel_to_normalized(xy, hw, *, align_corners=True):
     """Pixel xy -> [-1, 1] normalized coords for grid sampling.
 
@@ -103,12 +118,17 @@ def compute_ray_diff(pts, ref_c2w, src_c2ws):
     pts: (n, 3); ref_c2w (4,4); src_c2ws (s, 4, 4).
     Returns (n, s, 4): unit direction difference (3) + dot product (1).
     """
+    def _snorm(x):
+        # finite-gradient norm (masked/degenerate points can make the
+        # difference exactly zero; jnp.linalg.norm has NaN grads at 0)
+        return jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True) + 1e-12)
+
     ray2ref = ref_c2w[:3, 3][None, None] - pts[:, None, :]       # (n, 1, 3)
-    ray2ref = ray2ref / (jnp.linalg.norm(ray2ref, axis=-1, keepdims=True) + 1e-6)
+    ray2ref = ray2ref / (_snorm(ray2ref) + 1e-6)
     ray2src = src_c2ws[None, :, :3, 3] - pts[:, None, :]          # (n, s, 3)
-    ray2src = ray2src / (jnp.linalg.norm(ray2src, axis=-1, keepdims=True) + 1e-6)
+    ray2src = ray2src / (_snorm(ray2src) + 1e-6)
     diff = ray2ref - ray2src
-    diff_norm = jnp.linalg.norm(diff, axis=-1, keepdims=True)
+    diff_norm = _snorm(diff)
     dot = jnp.sum(ray2ref * ray2src, axis=-1, keepdims=True)
     direction = diff / jnp.clip(diff_norm, 1e-6)
     return jnp.concatenate([direction, dot], axis=-1)

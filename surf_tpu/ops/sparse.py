@@ -135,22 +135,17 @@ def sparse_trilinear(grid: VoxelGrid, storage, pts):
     frac = coords - c0
     c0i = c0.astype(jnp.int32)
 
-    out = None
-    for k in range(8):
-        dx, dy, dz = (k >> 2) & 1, (k >> 1) & 1, k & 1
-        corner = c0i + jnp.array([dx, dy, dz], dtype=jnp.int32)
-        # NB: the reference clamps corner indices *before* the sparse lookup
-        # (projector.py:287-318), so out-of-range taps read the border voxel
-        # instead of zero; we reproduce that to stay weight-compatible.
-        corner = jnp.clip(corner, 0, res - 1)
-        rows, valid = lookup_rows(grid, corner)
-        vals = gather_feats(storage, rows, valid)
-        wx = frac[..., 0] if dx else 1.0 - frac[..., 0]
-        wy = frac[..., 1] if dy else 1.0 - frac[..., 1]
-        wz = frac[..., 2] if dz else 1.0 - frac[..., 2]
-        w = (wx * wy * wz)[..., None]
-        out = vals * w if out is None else out + vals * w
-    return out
+    # all 8 corners in one stacked lookup (keeps the lowered graph small).
+    # NB: the reference clamps corner indices *before* the sparse lookup
+    # (projector.py:287-318), so out-of-range taps read the border voxel
+    # instead of zero; reproduced for weight compatibility.
+    corners = jnp.clip(c0i[..., None, :] + CHILD_OFFSETS, 0, res - 1)  # (...,8,3)
+    rows, valid = lookup_rows(grid, corners)
+    vals = gather_feats(storage, rows, valid)                          # (...,8,C)
+    offs = CHILD_OFFSETS.astype(coords.dtype)
+    w = jnp.prod(jnp.where(offs > 0, frac[..., None, :], 1.0 - frac[..., None, :]),
+                 axis=-1)
+    return jnp.sum(vals * w[..., None], axis=-2)
 
 
 def occupancy_nearest(grid: VoxelGrid, pts, *, align_corners=False):
