@@ -301,7 +301,14 @@ def parse_string(content: str) -> ConfigTree:
         while rest.endswith("}") and rest.count("[") == rest.count("]"):
             rest = rest[:-1].strip()
             closes += 1
-        dict.__setitem__(stack[-1], key, _parse_value(rest))
+        # multiple `key = value` assignments on one line: split them
+        extra = [m for m in _INLINE_KEY_RE.finditer(rest)]
+        if extra:
+            pairs = _split_inline_pairs(f"{key} = {rest}")
+            for kk, vv in pairs:
+                dict.__setitem__(stack[-1], kk, _parse_value(vv))
+        else:
+            dict.__setitem__(stack[-1], key, _parse_value(rest))
         for _ in range(closes):
             if len(stack) == 1:
                 raise ValueError("Unbalanced '}'")

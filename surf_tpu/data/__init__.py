@@ -16,7 +16,8 @@ from __future__ import annotations
 import numpy as np
 
 from .dtu import DTUDataset
-from .dtu_finetune import DTUDatasetFinetune, SyntheticDatasetFinetune
+from .dtu_finetune import (DTUDatasetFinetune, DTUDatasetFinetuneNeuS,
+                           SyntheticDatasetFinetune)
 from .mvs_generic import BMVSDataset, TanksDataset, ETH3DDataset
 from .synthetic import SyntheticDataset
 
@@ -27,6 +28,7 @@ _DATASETS = {
     "ETH3DDataset": ETH3DDataset,
     "SyntheticDataset": SyntheticDataset,
     "DTUDatasetFinetune": DTUDatasetFinetune,
+    "DTUDatasetFinetuneNeuS": DTUDatasetFinetuneNeuS,
     "SyntheticDatasetFinetune": SyntheticDatasetFinetune,
 }
 

@@ -183,6 +183,64 @@ class DTUDatasetFinetune(_FinetuneBase):
         return pairs
 
 
+class DTUDatasetFinetuneNeuS(_FinetuneBase):
+    """Finetune variant using NeuS-preprocessed DTU (cameras_sphere.npz with
+    world_mat_i/scale_mat_i, image/{vid:06d}.png + mask/{vid:03d}.png) —
+    reference: datasets/dtu_finetune_neus.py:75-140."""
+
+    def __init__(self, confs, mode="finetune"):
+        self.mode = mode
+        self.data_dir = confs["data_dir"]
+        self.img_hw = tuple(confs.get_list("img_hw"))
+        self.n_rays = confs.get_int("n_rays")
+        self.num_views = 3
+        self.scene = confs.get_string("scene")
+        self.ref_view = int(confs.get_int("ref_view"))
+        self.val_res_level = confs.get_int("val_res_level", default=1)
+
+        pairs = DTUDatasetFinetune._read_pairs(self)
+        self.all_views = [self.ref_view] + list(pairs[self.ref_view])[:self.num_views - 1]
+
+        cams = np.load(os.path.join(
+            self.data_dir, f"neus_data/data_DTU/dtu_{self.scene}/cameras_sphere.npz"))
+        intrs, c2ws, nfs = [], [], []
+        for vid in self.all_views:
+            P = (cams[f"world_mat_{vid}"] @ cams[f"scale_mat_{vid}"])[:3, :4]
+            ni, c2w = load_K_Rt_from_P(P)
+            intrs.append(ni)
+            c2ws.append(c2w)
+            nfs.append(near_far_from_campos(c2w))
+        self.intrs = np.stack(intrs).astype(np.float32)
+        self.c2ws = np.stack(c2ws).astype(np.float32)
+        self.near_fars = np.stack(nfs).astype(np.float32)
+        self.scale_mat = cams[f"scale_mat_{self.all_views[0]}"].astype(np.float32)
+        self.scale_factor = 1.0 / self.scale_mat[0, 0]
+
+        def load_img(path):
+            img = np.array(Image.open(path), dtype=np.float32)
+            return cv2.resize(img, self.img_hw[::-1], interpolation=cv2.INTER_NEAREST)
+
+        base = os.path.join(self.data_dir, f"neus_data/data_DTU/dtu_{self.scene}")
+        self.images = np.stack([
+            load_img(os.path.join(base, f"image/{vid:0>6}.png")) / 256.0
+            for vid in self.all_views]).astype(np.float32)
+        self.masks = np.stack([
+            (load_img(os.path.join(base, f"mask/{vid:0>3}.png")) > 10)[..., 0]
+            if load_img(os.path.join(base, f"mask/{vid:0>3}.png")).ndim == 3
+            else (load_img(os.path.join(base, f"mask/{vid:0>3}.png")) > 10)
+            for vid in self.all_views]).astype(np.float32)
+        self.pseudo_depths = np.stack([
+            cv2.resize(read_pfm(os.path.join(
+                self.data_dir,
+                f"PseudoMVSScore/dtu_exp/{self.scene}/filtered_avg_depth/{vid:0>8}.pfm"))[0],
+                self.img_hw[::-1], interpolation=cv2.INTER_NEAREST)
+            for vid in self.all_views]).astype(np.float32) * self.scale_factor
+        ply = read_ply(os.path.join(
+            self.data_dir, f"PseudoMVSDepth/mvsnet{int(self.scene[4:]):0>3}_l3.ply"))
+        pw = ply["vertices"].astype(np.float32)
+        self.pseudo_pts = ((pw - self.scale_mat[:3, 3]) / self.scale_mat[0, 0]).astype(np.float32)
+
+
 class SyntheticDatasetFinetune(_FinetuneBase):
     """Finetune surface over the procedural synthetic scene (tests/bench)."""
 

@@ -98,6 +98,14 @@ class Runner:
 
         self.writer = _writer(os.path.join(self.base_exp_dir, "logs"))
         self.key = setup_seed(getattr(args, "seed", 0))
+        self.codes_backup()
+
+        # debugging toggles (SURVEY.md §5: the TPU-native replacement for
+        # sanitizers — JAX is functional, so NaN checking is a jit flag)
+        if self.conf.get_bool("train.debug_nans", default=False):
+            jax.config.update("jax_debug_nans", True)
+        if self.conf.get_string("train.profile_dir", default=None):
+            jax.profiler.start_trace(self.conf["train.profile_dir"])
 
         if self.mode == "finetune":
             self.finetune_dataset = get_loader(self.conf["finetune_dataset"], "finetune")
