@@ -26,6 +26,10 @@ REFERENCE_RAYS_PER_SEC_ESTIMATE = 1700.0
 
 
 def main():
+    # persistent compilation cache: repeated bench runs skip the big compiles
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
     import jax
     import jax.numpy as jnp
 
@@ -36,7 +40,7 @@ def main():
 
     n_rays = int(os.environ.get("BENCH_RAYS", 8192))
     base_dim = int(os.environ.get("BENCH_BASE_DIM", 64))
-    n_stages = int(os.environ.get("BENCH_STAGES", 3))
+    n_stages = int(os.environ.get("BENCH_STAGES", 2))
     img_hw = (288, 400)
 
     ratios = [1.0, 0.4, 0.1, 0.01][:n_stages]

@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import bilinear_sample_2d, pixel_to_normalized
+from ..ops.projection import invert_intrinsics
 
 
 def compute_consistency_loss(ref_depth, src_depth, intrs, c2ws, src_idx,
@@ -28,7 +29,7 @@ def compute_consistency_loss(ref_depth, src_depth, intrs, c2ws, src_idx,
     pix = jnp.stack([xs, ys, jnp.ones_like(xs)], -1).reshape(-1, 3)
     ref_xy = pix[:, :2]
 
-    cam = (pix * ref_depth.reshape(-1, 1)) @ jnp.linalg.inv(ref_intr[:3, :3]).T
+    cam = (pix * ref_depth.reshape(-1, 1)) @ invert_intrinsics(ref_intr).T
     world = cam @ ref_c2w[:3, :3].T + ref_c2w[:3, 3]
     src_cam = (world - src_c2w[:3, 3]) @ src_c2w[:3, :3]
     src_proj = src_cam @ src_intr[:3, :3].T
@@ -39,7 +40,7 @@ def compute_consistency_loss(ref_depth, src_depth, intrs, c2ws, src_idx,
                                     align_corners=True)[..., 0]
 
     src_pix = jnp.concatenate([src_xy, jnp.ones_like(src_xy[:, :1])], -1)
-    back_cam = (src_pix * warp_depth[:, None]) @ jnp.linalg.inv(src_intr[:3, :3]).T
+    back_cam = (src_pix * warp_depth[:, None]) @ invert_intrinsics(src_intr).T
     back_world = back_cam @ src_c2w[:3, :3].T + src_c2w[:3, 3]
     back_ref_cam = (back_world - ref_c2w[:3, 3]) @ ref_c2w[:3, :3]
     depth_proj = back_ref_cam[:, 2].reshape(H, W)

@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import bilinear_sample_2d, pixel_to_normalized
+from ..ops.projection import invert_pose, invert_intrinsics
 
 
 def _avg_pool3(x):
@@ -82,13 +83,13 @@ def compute_ptloss(depth, imgs, mask_ref, intrs, c2ws, ref_idx=0, topk=2):
     ys, xs = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
                           jnp.arange(W, dtype=jnp.float32), indexing="ij")
     pix = jnp.stack([xs, ys, jnp.ones_like(xs)], axis=-1).reshape(-1, 3)
-    cam = (pix * depth.reshape(-1, 1)) @ jnp.linalg.inv(ref_intr[:3, :3]).T
+    cam = (pix * depth.reshape(-1, 1)) @ invert_intrinsics(ref_intr).T
     world = cam @ ref_c2w[:3, :3].T + ref_c2w[:3, 3]
 
     warped = []
     masks = []
     for s in range(nsrc):
-        w2c = jnp.linalg.inv(src_c2ws[s])
+        w2c = invert_pose(src_c2ws[s])
         c = world @ w2c[:3, :3].T + w2c[:3, 3]
         proj = c @ src_intrs[s][:3, :3].T
         z = proj[:, 2]

@@ -179,7 +179,7 @@ def render_core(key, params, static, rays_o, rays_d, z_vals, sample_dist,
     color = jnp.sum(sampled_color * weights[..., None], axis=1)
     grads_rs = gradients.reshape(nr, ns, 3)
     normal_world = jnp.sum(grads_rs * weights[..., None], axis=1)
-    rot = jnp.linalg.inv(c2ws[0, :3, :3])
+    rot = c2ws[0, :3, :3].T   # rigid: R^{-1} = R^T
     normal = normal_world @ rot.T
 
     cam_d = jnp.einsum("ij,nj->ni", rot, rays_d)

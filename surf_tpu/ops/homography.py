@@ -31,8 +31,9 @@ def surface_patch_warp(pts, normals_ref, images, intrs, c2ws, patch_size=11):
     H_img, W_img = images.shape[1:3]
     nsrc = images.shape[0] - 1
 
+    from .projection import invert_intrinsics
     K_ref = intrs[0, :3, :3]
-    K_ref_inv = jnp.linalg.inv(K_ref)
+    K_ref_inv = invert_intrinsics(intrs[0])
     K_src = intrs[1:, :3, :3]
     R0 = c2ws[0, :3, :3]          # ref cam -> world rotation
     C0 = c2ws[0, :3, 3]

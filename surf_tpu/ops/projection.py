@@ -19,9 +19,44 @@ def to_homo(pts):
     return jnp.concatenate([pts, jnp.ones_like(pts[..., :1])], axis=-1)
 
 
+def invert_pose(c2w):
+    """Closed-form inverse of rigid pose(s) [R|t]: [R^T | -R^T t].
+
+    Avoids jnp.linalg.inv's LU decomposition inside jit (slower and less
+    precise on TPU than the analytic form).  Supports leading batch dims.
+    """
+    R = c2w[..., :3, :3]
+    t = c2w[..., :3, 3]
+    Rt = jnp.swapaxes(R, -1, -2)
+    new_t = -jnp.einsum("...ij,...j->...i", Rt, t)
+    top = jnp.concatenate([Rt, new_t[..., None]], axis=-1)
+    bottom = jnp.broadcast_to(
+        jnp.array([0.0, 0.0, 0.0, 1.0], c2w.dtype), (*c2w.shape[:-2], 1, 4))
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def invert_intrinsics(intr):
+    """Closed-form inverse of pinhole K (upper-triangular 3x3 with K[2,2]=1),
+    batched.  intr: (..., 4, 4) or (..., 3, 3) -> (..., 3, 3)."""
+    K = intr[..., :3, :3]
+    fx = K[..., 0, 0]
+    s = K[..., 0, 1]
+    cx = K[..., 0, 2]
+    fy = K[..., 1, 1]
+    cy = K[..., 1, 2]
+    z = jnp.zeros_like(fx)
+    o = jnp.ones_like(fx)
+    inv = jnp.stack([
+        jnp.stack([1.0 / fx, -s / (fx * fy), (s * cy - cx * fy) / (fx * fy)], -1),
+        jnp.stack([z, 1.0 / fy, -cy / fy], -1),
+        jnp.stack([z, z, o], -1),
+    ], axis=-2)
+    return inv
+
+
 def world_to_cam(pts, c2w):
     """pts (..., 3), c2w (4,4) -> camera-frame points (..., 3)."""
-    w2c = jnp.linalg.inv(c2w)
+    w2c = invert_pose(c2w)
     return jnp.einsum("ij,...j->...i", w2c[:3, :4], to_homo(pts))
 
 
@@ -50,7 +85,7 @@ def project_points_all(pts, intrs, c2ws):
     One einsum pair instead of a per-view Python loop (smaller jaxprs,
     better MXU batching).
     """
-    w2cs = jnp.linalg.inv(c2ws)
+    w2cs = invert_pose(c2ws)
     cam = jnp.einsum("vij,nj->vni", w2cs[:, :3, :4], to_homo(pts))
     proj = jnp.einsum("vij,vnj->vni", intrs[:, :3, :3], cam)
     depth = proj[..., 2]
@@ -97,7 +132,7 @@ def pixels_to_rays(pixels_xy, intr, c2w):
     Returns (rays_o (..., 3), rays_d (..., 3)).
     """
     p = to_homo(pixels_xy)  # (..., 3) with z=1
-    cam_dirs = jnp.einsum("ij,...j->...i", jnp.linalg.inv(intr[:3, :3]), p)
+    cam_dirs = jnp.einsum("ij,...j->...i", invert_intrinsics(intr), p)
     cam_dirs = cam_dirs / jnp.linalg.norm(cam_dirs, axis=-1, keepdims=True)
     rays_d = jnp.einsum("ij,...j->...i", c2w[:3, :3], cam_dirs)
     rays_o = jnp.broadcast_to(c2w[:3, 3], rays_d.shape)
@@ -107,7 +142,7 @@ def pixels_to_rays(pixels_xy, intr, c2w):
 def ray_z_cos(rays_d, c2w):
     """cos factor converting a z-val along a *normalized* ray into camera
     depth: depth = z_val * (R^-1 d)_z  (matching_field.py:52-55)."""
-    cam_d = jnp.einsum("ij,...j->...i", jnp.linalg.inv(c2w[:3, :3]), rays_d)
+    cam_d = jnp.einsum("ji,...j->...i", c2w[:3, :3], rays_d)  # R^T d
     return cam_d[..., 2]
 
 

@@ -155,6 +155,23 @@ class Runner:
 
         self._jit_cache = {}
 
+    def codes_backup(self):
+        """Snapshot the source tree into the experiment dir
+        (reference: runner.py:421-424)."""
+        import shutil
+        src = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        dst = os.path.join(self.base_exp_dir, "codes_recording")
+        if os.path.exists(dst):
+            return
+        try:
+            shutil.copytree(
+                src, dst,
+                ignore=shutil.ignore_patterns(
+                    "exp", "outputs", "data", ".git", "__pycache__", "*.so",
+                    ".jax_cache", "codes_recording"))
+        except OSError:
+            pass  # backup is best-effort
+
     # ------------------------------------------------------------------
     # optimizer plumbing
     # ------------------------------------------------------------------
@@ -341,9 +358,11 @@ class Runner:
         rays_o = np.asarray(ipts["rays_o"])
         rays_d = np.asarray(ipts["rays_d"])
         n = len(rays_o)
-        near = np.full((n, 1), float(np.asarray(ipts["near"]).reshape(-1)[0]), np.float32)
-        far = np.full((n, 1), float(np.asarray(ipts["far"]).reshape(-1)[0]), np.float32)
+        near_v = float(np.asarray(ipts["near"]).reshape(-1)[0])
+        far_v = float(np.asarray(ipts["far"]).reshape(-1)[0])
         chunk = self.val_chunk
+        near_c = jnp.full((chunk, 1), near_v, jnp.float32)
+        far_c = jnp.full((chunk, 1), far_v, jnp.float32)
         outs = {"color_fine": [], "normal": [], "sdf_depth": [], "render_depth": [],
                 "gradients": [], "weights": [], "inside_sphere": []}
         for s in range(0, n, chunk):
@@ -355,7 +374,7 @@ class Runner:
                 if pad else rays_d[sl]
             key, k = jax.random.split(key)
             r = render(params, k, jnp.asarray(ro), jnp.asarray(rd),
-                       jnp.asarray(near[:len(ro)]), jnp.asarray(far[:len(ro)]),
+                       near_c, far_c,
                        matching_volume, stages, features, match_features,
                        ipts["imgs"], ipts["intrs"], ipts["c2ws"])
             take = chunk - pad
@@ -379,7 +398,8 @@ class Runner:
         build = self._build_volumes_jit()
         avg = DictAverageMeter()
         for batch_idx, inputs in enumerate(self.val_loader):
-            ipts = to_device(inputs)
+            ipts = to_device({k: v for k, v in inputs.items()
+                              if not isinstance(v, str)})
             self.key, k1, k2 = jax.random.split(self.key, 3)
 
             if self.has_vol:
