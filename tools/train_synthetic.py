@@ -1,0 +1,154 @@
+"""Self-contained training demo: fit the full pipeline on the procedural
+synthetic scene and report learning progress + extract a mesh.
+
+Validates the end-to-end training dynamics (losses falling, depth error
+shrinking, a sphere-like mesh emerging) without any dataset download.
+Run on TPU: `python tools/train_synthetic.py --steps 200`.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--steps", type=int, default=100)
+    parser.add_argument("--base_dim", type=int, default=32)
+    parser.add_argument("--stages", type=int, default=2)
+    parser.add_argument("--img", type=int, nargs=2, default=[96, 128])
+    parser.add_argument("--n_rays", type=int, default=512)
+    parser.add_argument("--mesh_out", type=str, default="/tmp/synthetic_mesh.ply")
+    parser.add_argument("--mesh_res", type=int, default=128)
+    args = parser.parse_args()
+
+    from surf_tpu.config import ConfigFactory
+    from surf_tpu.data.synthetic import SyntheticDataset
+    from surf_tpu.nn import surf, feature_net, implicit_surface, sdf_net
+    from surf_tpu.losses import compute_loss, make_loss_config
+    from surf_tpu.geometry import Mesh, marching_cubes
+    from tiny_conf import TINY
+
+    conf = ConfigFactory.parse_string(TINY)
+    n_stages = args.stages
+    mc = conf["model"]
+    mc["volume"]["base_volume_dim"] = [args.base_dim] * 3
+    mc["volume"]["stage_parent_capacity"] = \
+        [(args.base_dim // 2) ** 3, (args.base_dim // 2) ** 3 * 2, 262144][:n_stages]
+    conf["train_dataset"]["img_hw"] = list(args.img)
+    conf["train_dataset"]["n_rays"] = args.n_rays
+    conf["train_dataset"]["n_scenes"] = 1
+
+    ds = SyntheticDataset(conf["train_dataset"], "train")
+    params, state, static = surf.init(jax.random.PRNGKey(0), conf["model"])
+    loss_cfg = make_loss_config(conf["train.loss"])
+
+    optimizer = optax.adam(5e-4)
+    opt_state = optimizer.init(params)
+
+    @jax.jit
+    def train_step(params, state, opt_state, batch, key, step_f):
+        def loss_fn(p):
+            out, new_state = surf.forward(key, p, state, static, "train", batch,
+                                          cos_anneal_ratio=jnp.minimum(step_f / 10.0, 1.0),
+                                          step=step_f)
+            res = compute_loss(loss_cfg, out, batch, step_f, "train")
+            psnr = 20.0 * jnp.log10(1.0 / jnp.sqrt(
+                jnp.mean((out["color_fine"] - batch["color"]) ** 2) + 1e-12))
+            res["psnr"] = psnr
+            res["depth_err"] = jnp.abs(
+                out["render_depth"] - batch["depth"]).mean()
+            return res["loss"], (res, new_state)
+
+        (loss, (res, new_state)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, new_opt = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_state, new_opt, res
+
+    key = jax.random.PRNGKey(1)
+    t0 = time.time()
+    first = None
+    for step in range(args.steps):
+        batch_np = ds[step % len(ds)]
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items()
+                 if not isinstance(v, str)}
+        key, k = jax.random.split(key)
+        params, state, opt_state, res = train_step(
+            params, state, opt_state, batch, k, jnp.float32(step))
+        if step == 0:
+            jax.block_until_ready(res["loss"])
+            print(f"compile+step0: {time.time() - t0:.1f}s")
+            t0 = time.time()
+        if step % 10 == 0 or step == args.steps - 1:
+            r = {k_: float(v) for k_, v in res.items()}
+            if first is None:
+                first = r
+            print(f"[{step:4d}] loss {r['loss']:.4f} color {r['color_loss']:.4f} "
+                  f"psnr {r['psnr']:.2f} depth_err {r['depth_err']:.4f} "
+                  f"mfc {r['mfc_loss']:.4f} eik {r['eikonal_loss']:.4f}")
+    steps_done = max(args.steps - 1, 1)
+    print(f"steady: {(time.time() - t0) / steps_done:.3f}s/step")
+    print(f"psnr {first['psnr']:.2f} -> {r['psnr']:.2f}; "
+          f"depth_err {first['depth_err']:.4f} -> {r['depth_err']:.4f}")
+
+    # mesh extraction
+    batch_np = ds[0]
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items() if not isinstance(v, str)}
+
+    @jax.jit
+    def build(p, s, b, k):
+        features = feature_net.apply(p["feature_network"], b["imgs"])
+        _, stages, mv, _ = surf.build_volumes(k, p, s, static, b, features,
+                                              perturb=False, training=False)
+        return stages, mv
+
+    stages, _ = build(params, state, batch, jax.random.PRNGKey(2))
+    stages_ff = stages[::-1]
+
+    @jax.jit
+    def sdf_chunk(p, pts):
+        grids = [g for g, _ in stages_ff]
+        m = implicit_surface.occupancy_mask(grids, pts)
+        s = sdf_net.sdf_only(p["sdf_network"], static["implicit_surface"]["sdf"],
+                             pts, stages_ff)
+        return jnp.where(m[:, None], s, 100.0)[:, 0]
+
+    res_ = args.mesh_res
+    lin = np.linspace(-1, 1, res_, dtype=np.float32)
+    xs, ys, zs = np.meshgrid(lin, lin, lin, indexing="ij")
+    pts_all = np.stack([xs.reshape(-1), ys.reshape(-1), zs.reshape(-1)], -1)
+    chunk = 65536
+    u = np.zeros(res_ ** 3, np.float32)
+    for s_ in range(0, len(pts_all), chunk):
+        seg = pts_all[s_:s_ + chunk]
+        pad = chunk - len(seg)
+        if pad:
+            seg = np.concatenate([seg, np.zeros((pad, 3), np.float32)])
+        vals = np.asarray(sdf_chunk(params["implicit_surface"], jnp.asarray(seg)))
+        u[s_:s_ + chunk - pad] = vals[:chunk - pad] if pad else vals
+    u = u.reshape(res_, res_, res_)
+    verts, tris = marching_cubes(-u, 0.0)
+    if len(verts):
+        verts = verts / (res_ - 1) * 2 - 1
+        Mesh(verts, tris).export(args.mesh_out)
+        rad = np.linalg.norm(verts, axis=1)
+        print(f"mesh: {len(verts)} verts, {len(tris)} faces -> {args.mesh_out}")
+        print(f"vertex radius mean {rad.mean():.3f} std {rad.std():.3f} "
+              f"(scene surface at ~unit-sphere scale)")
+    else:
+        print("mesh: EMPTY (no zero crossing yet)")
+
+
+if __name__ == "__main__":
+    main()
