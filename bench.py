@@ -115,6 +115,8 @@ def main():
 
     stages_ff = stages[::-1]
     feats_ff = [f for f in features][::-1]
+    warp_feats = jax.jit(implicit_surface.prepare_patch_features)(
+        feats_ff, feats_ff, 2.0)
 
     @jax.jit
     def render(params, key, rays_o, rays_d, near, far):
@@ -122,7 +124,7 @@ def main():
             key, params["implicit_surface"], static["implicit_surface"],
             rays_o, rays_d, near, far, matching_volume, stages_ff,
             feats_ff, feats_ff, batch["imgs"], batch["intrs"], batch["c2ws"],
-            1.0, 2.0)["color_fine"]
+            1.0, 2.0, warp_feats=warp_feats)["color_fine"]
 
     rays_o = batch["rays_o"][:n_rays]
     rays_d = batch["rays_d"][:n_rays]

@@ -111,11 +111,32 @@ def build_z_vals(key, static, rays_o, rays_d, near, far, matching_volume):
     return jnp.sort(jnp.concatenate(z_all, axis=-1), axis=-1)
 
 
+def prepare_patch_features(features, match_features, step):
+    """Per-scene patch-warp feature image: concat of the 3 finest maps
+    upsampled to full resolution, switching to the frozen matching feature
+    network from step >= 2 (implicit_surface.py:230-243).  Hoisted out of
+    the per-ray-chunk render so validation does the resize once per scene.
+    """
+    def cat3(maps):
+        hw = maps[0].shape[1:3]
+        ups = [maps[0]] + [
+            jax.vmap(lambda m: resize_bilinear_2d(m, hw))(mm) for mm in maps[1:3]]
+        return jax.lax.stop_gradient(jnp.concatenate(ups, axis=-1))
+
+    warp_a = cat3(features)
+    if match_features is None:
+        return warp_a
+    warp_b = cat3(match_features)
+    use_a = jnp.asarray(True) if step is None else (jnp.asarray(step) < 2)
+    return jnp.where(use_a, warp_a, warp_b)
+
+
 def render_core(key, params, static, rays_o, rays_d, z_vals, sample_dist,
-                stages, features, match_features, imgs, intrs, c2ws,
+                stages, features, warp_feats, imgs, intrs, c2ws,
                 cos_anneal_ratio, step):
     """stages: list of (VoxelGrid, storage (P*8, 7)) fine-to-coarse.
-    features/match_features: FPN maps finest-first."""
+    features: FPN maps finest-first; warp_feats: prepare_patch_features
+    output."""
     nr, ns = z_vals.shape
     sdf_p = params["sdf_network"]
     sdf_s = static["sdf"]
@@ -131,12 +152,12 @@ def render_core(key, params, static, rays_o, rays_d, z_vals, sample_dist,
     vmask = occupancy_mask(grids, pts)                       # (N,)
     vmask_f = vmask.astype(pts.dtype)
 
-    # SDF + features everywhere, pinned outside the active set
-    sdf_out = sdf_net.apply(sdf_p, sdf_s, pts, stages)
+    # SDF + features + first/second-order gradients everywhere in one
+    # fused jvp-over-grad pass, pinned outside the active set
+    sdf_out, grads_all, smooth_all = sdf_net.value_features_grads(
+        sdf_p, sdf_s, pts, stages)
     sdf = jnp.where(vmask[:, None], sdf_out[:, :1], 100.0)
     feature_vec = sdf_out[:, 1:] * vmask_f[:, None]
-
-    grads_all, smooth_all = sdf_net.gradient(sdf_p, sdf_s, pts, stages)
     gradients = grads_all * vmask_f[:, None]
     smooth = smooth_all * vmask_f[:, None]
 
@@ -240,19 +261,6 @@ def render_core(key, params, static, rays_o, rays_d, z_vals, sample_dist,
     # to the reference camera frame, detached (line 228)
     grad_sdf0 = jax.lax.stop_gradient(grad_sdf0 @ c2ws[0, :3, :3])
 
-    # patch warp features: 3 finest maps, upsampled to full res; switch to
-    # the frozen matching feature network from step >= 2 (lines 230-243)
-    def cat3(maps):
-        hw = maps[0].shape[1:3]
-        ups = [maps[0]] + [
-            jax.vmap(lambda m: resize_bilinear_2d(m, hw))(mm) for mm in maps[1:3]]
-        return jax.lax.stop_gradient(jnp.concatenate(ups, axis=-1))
-
-    warp_a = cat3(features)
-    warp_b = cat3(match_features)
-    use_a = jnp.asarray(True) if step is None else (jnp.asarray(step) < 2)
-    warp_feats = jnp.where(use_a, warp_a, warp_b)
-
     ref_gray, sampled_gray = surface_patch_warp(
         pts_sdf0, grad_sdf0, warp_feats, intrs, c2ws)
 
@@ -280,15 +288,17 @@ def render_core(key, params, static, rays_o, rays_d, z_vals, sample_dist,
 
 def render(key, params, static, rays_o, rays_d, near, far, matching_volume,
            stages, features, match_features, imgs, intrs, c2ws,
-           cos_anneal_ratio=1.0, step=None):
+           cos_anneal_ratio=1.0, step=None, warp_feats=None):
     if near.shape[0] == 1:
         near = jnp.broadcast_to(near, (rays_o.shape[0], 1))
         far = jnp.broadcast_to(far, (rays_o.shape[0], 1))
+    if warp_feats is None:
+        warp_feats = prepare_patch_features(features, match_features, step)
     k_z, k_core = jax.random.split(key)
     sample_dist = 2.0 / static["n_samples"][0]
     z_vals = build_z_vals(k_z, static, rays_o, rays_d, near, far, matching_volume)
     return render_core(k_core, params, static, rays_o, rays_d, z_vals,
-                       sample_dist, stages, features, match_features, imgs,
+                       sample_dist, stages, features, warp_feats, imgs,
                        intrs, c2ws, cos_anneal_ratio, step)
 
 

@@ -162,16 +162,40 @@ def sdf_only(params, static, pts, stages):
 def gradient(params, static, pts, stages):
     """Per-point (∇sdf (n,3), smooth (n,3)) where smooth = H @ 1 — the exact
     quantities the reference extracts via nested autograd
-    (sdf_network.py:129-152)."""
+    (sdf_network.py:129-152).  Computed as a single forward-over-reverse
+    pass: jvp(grad, tangent=1) yields the gradient (primal) and the
+    Hessian-vector product H@1 (tangent) together, ~2x one backward instead
+    of the naive ~4x."""
 
     def sdf_point(p):
         return apply(params, static, p[None], stages)[0, 0]
 
     grad_fn = jax.grad(sdf_point)
+    ones = jnp.ones(3, pts.dtype)
 
-    def sum_grad(p):
-        return jnp.sum(grad_fn(p))
+    def both(p):
+        return jax.jvp(grad_fn, (p,), (ones,))
 
-    grads = jax.vmap(grad_fn)(pts)
-    smooth = jax.vmap(jax.grad(sum_grad))(pts)
+    grads, smooth = jax.vmap(both)(pts)
     return grads, smooth
+
+
+def value_features_grads(params, static, pts, stages):
+    """Fused per-point evaluation: (out (n, d_out), ∇sdf (n,3), H@1 (n,3)).
+
+    One jvp-over-grad pass shares the forward work that the reference
+    spends three separate autograd graphs on (implicit_surface.py:91-103).
+    """
+
+    def g_with_aux(p):
+        out = apply(params, static, p[None], stages)[0]
+        return out[0], out
+
+    grad_fn = jax.grad(g_with_aux, has_aux=True)
+    ones = jnp.ones(3, pts.dtype)
+
+    def fused(p):
+        (g, out), (hd, _) = jax.jvp(grad_fn, (p,), (ones,))
+        return out, g, hd
+
+    return jax.vmap(fused)(pts)

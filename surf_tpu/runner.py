@@ -318,12 +318,13 @@ class Runner:
 
             @jax.jit
             def render_chunk(params, key, rays_o, rays_d, near, far,
-                             matching_volume, stages, features, match_features,
+                             matching_volume, stages, warp_feats, features,
                              imgs, intrs, c2ws):
                 return implicit_surface.render(
                     key, params["implicit_surface"], static["implicit_surface"],
                     rays_o, rays_d, near, far, matching_volume, stages,
-                    features, match_features, imgs, intrs, c2ws, 1.0, None)
+                    features, None, imgs, intrs, c2ws, 1.0, None,
+                    warp_feats=warp_feats)
 
             self._jit_cache["render_chunk"] = render_chunk
         return self._jit_cache["render_chunk"]
@@ -355,6 +356,8 @@ class Runner:
     def render_full_image(self, params, key, ipts, stages, matching_volume,
                           features, match_features):
         render = self._render_chunk_jit()
+        # per-scene patch features computed once, not per ray chunk
+        warp_feats = implicit_surface.prepare_patch_features(features, None, None)
         rays_o = np.asarray(ipts["rays_o"])
         rays_d = np.asarray(ipts["rays_d"])
         n = len(rays_o)
@@ -375,7 +378,7 @@ class Runner:
             key, k = jax.random.split(key)
             r = render(params, k, jnp.asarray(ro), jnp.asarray(rd),
                        near_c, far_c,
-                       matching_volume, stages, features, match_features,
+                       matching_volume, stages, warp_feats, features,
                        ipts["imgs"], ipts["intrs"], ipts["c2ws"])
             take = chunk - pad
             outs["color_fine"].append(np.asarray(r["color_fine"])[:take])
