@@ -58,6 +58,57 @@ def init(key, conf):
     return params
 
 
+def init_legacy(key, conf):
+    """Alternative 3-scale backbone matching the reference's unused
+    FeatureNetworkOld (feature_network.py:78-123): conv0 (stride 1, 5x5
+    downsamplers) encoder, lateral 3x3 inner convs, bilinear-upsample FPN
+    with three d_out heads.  Kept for checkpoint/experiment parity."""
+    d_base = conf.get_int("d_base")
+    d_out = conf.get_int("d_out") if not isinstance(conf.get("d_out"), list) \
+        else conf.get_list("d_out")[0]
+    keys = jax.random.split(key, 12)
+    p = {
+        "conv0": [_conv_block_init(keys[0], 3, d_base, 3),
+                  _conv_block_init(keys[1], d_base, d_base, 3)],
+        "conv1": [_conv_block_init(keys[2], d_base, d_base * 2, 5),
+                  _conv_block_init(keys[3], d_base * 2, d_base * 2, 3),
+                  _conv_block_init(keys[4], d_base * 2, d_base * 2, 3)],
+        "conv2": [_conv_block_init(keys[5], d_base * 2, d_base * 4, 5),
+                  _conv_block_init(keys[6], d_base * 4, d_base * 4, 3),
+                  _conv_block_init(keys[7], d_base * 4, d_base * 4, 3)],
+        "out2": conv2d_init(keys[8], d_base * 4, d_out, 3, bias=False),
+        "out1": conv2d_init(keys[9], d_base * 4, d_out, 3, bias=False),
+        "out0": conv2d_init(keys[10], d_base * 4, d_out, 3, bias=False),
+        "inner1": conv2d_init(keys[11], d_base * 2, d_base * 4, 3, bias=False),
+        "inner0": conv2d_init(jax.random.split(keys[11])[0], d_base, d_base * 4, 3,
+                              bias=False),
+    }
+    return p
+
+
+def apply_legacy(params, images):
+    from ..ops import resize_bilinear_2d
+
+    def seq(blocks, x, strides):
+        for p, s in zip(blocks, strides):
+            x = _conv_block_apply(p, x, stride=s)
+        return x
+
+    feat0 = seq(params["conv0"], images, [1, 1])
+    feat1 = seq(params["conv1"], feat0, [2, 1, 1])
+    feat2 = seq(params["conv2"], feat1, [2, 1, 1])
+    out2 = conv2d_apply(params["out2"], feat2)
+    up = jax.vmap(lambda m: resize_bilinear_2d(
+        m, (feat1.shape[1], feat1.shape[2]), align_corners=True))(feat2)
+    intra = up + conv2d_apply(params["inner1"], feat1)
+    out1 = conv2d_apply(params["out1"], intra)
+    up = jax.vmap(lambda m: resize_bilinear_2d(
+        m, (feat0.shape[1], feat0.shape[2]), align_corners=True))(intra)
+    intra = up + conv2d_apply(params["inner0"], feat0)
+    out0 = conv2d_apply(params["out0"], intra)
+    return [out2, out1, out0]
+
+
 def apply(params, images):
     """images: (nv, H, W, 3) -> list of (nv, h_s, w_s, c) low-res -> high-res."""
     num_stage = len(params["encoder"])

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from . import sdf_net, blending_net, variance
 from ..ops import trilinear_sample_3d, resize_bilinear_2d
 from ..ops import sparse as sp
-from ..ops.feature_lookup import lookup_feature
+from ..ops.feature_lookup import lookup_feature, lookup_feature_fused, fuse_pyramid
 from ..ops.homography import surface_patch_warp
 
 
@@ -46,6 +46,11 @@ def init(key, conf):
         "sample_ranges": conf.get_list("render.sample_ranges"),
         "n_depth": conf.get_int("render.n_depth"),
         "perturb": conf.get_float("render.perturb"),
+        # fuse the RGB+feature pyramid into one image per scene so the color
+        # path does a single bilinear gather per source view (large TPU win;
+        # disable for bit-exact parity with the reference's per-level
+        # sampling when validating converted checkpoints)
+        "fused_pyramid": conf.get_bool("render.fused_pyramid", default=True),
     }
     return params, static
 
@@ -133,7 +138,7 @@ def prepare_patch_features(features, match_features, step):
 
 def render_core(key, params, static, rays_o, rays_d, z_vals, sample_dist,
                 stages, features, warp_feats, imgs, intrs, c2ws,
-                cos_anneal_ratio, step):
+                cos_anneal_ratio, step, fused_colors=None):
     """stages: list of (VoxelGrid, storage (P*8, 7)) fine-to-coarse.
     features: FPN maps finest-first; warp_feats: prepare_patch_features
     output."""
@@ -162,7 +167,12 @@ def render_core(key, params, static, rays_o, rays_d, z_vals, sample_dist,
     smooth = smooth_all * vmask_f[:, None]
 
     # cross-view blended color
-    rgb_feat, ray_diff, src_mask = lookup_feature(pts, imgs, intrs, c2ws, features)
+    if fused_colors is not None:
+        hw_levels = [f.shape[1:3] for f in features]
+        rgb_feat, ray_diff, src_mask = lookup_feature_fused(
+            pts, fused_colors, intrs, c2ws, hw_levels)
+    else:
+        rgb_feat, ray_diff, src_mask = lookup_feature(pts, imgs, intrs, c2ws, features)
     sampled_color = blending_net.apply(params["color_network"], static["blend"],
                                        rgb_feat, ray_diff, src_mask)
     sampled_color = (sampled_color * vmask_f[:, None]).reshape(nr, ns, 3)
@@ -294,12 +304,16 @@ def render(key, params, static, rays_o, rays_d, near, far, matching_volume,
         far = jnp.broadcast_to(far, (rays_o.shape[0], 1))
     if warp_feats is None:
         warp_feats = prepare_patch_features(features, match_features, step)
+    fused_colors = None
+    if static.get("fused_pyramid", False):
+        fused_colors = fuse_pyramid(imgs, features)
     k_z, k_core = jax.random.split(key)
     sample_dist = 2.0 / static["n_samples"][0]
     z_vals = build_z_vals(k_z, static, rays_o, rays_d, near, far, matching_volume)
     return render_core(k_core, params, static, rays_o, rays_d, z_vals,
                        sample_dist, stages, features, warp_feats, imgs,
-                       intrs, c2ws, cos_anneal_ratio, step)
+                       intrs, c2ws, cos_anneal_ratio, step,
+                       fused_colors=fused_colors)
 
 
 def pseudo_sdf(params, static, pseudo_pts, stages):

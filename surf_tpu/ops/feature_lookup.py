@@ -61,3 +61,53 @@ def lookup_feature(pts, imgs, intrs, c2ws, features):
     mask = jnp.stack(masks, axis=-1).all(axis=-1)
     rgb_feat = jnp.concatenate([warped_rgb, warped], axis=-1)
     return rgb_feat, ray_diff, mask
+
+
+def fuse_pyramid(imgs, features):
+    """Pre-concatenate RGB + all pyramid levels at the finest resolution
+    (bilinear 2x upsampling per level), once per scene.
+
+    With this, ``lookup_feature_fused`` needs ONE bilinear gather per source
+    view instead of one per pyramid level — the dominant cost in the color
+    path on TPU (gathers are latency-bound).  Values differ from the exact
+    per-level sampling only by sub-pixel alignment of the upsampling grid.
+    """
+    from .grid_sample import resize_bilinear_2d
+    hw = features[0].shape[1:3]
+    ups = [imgs, features[0]]
+    for f in features[1:]:
+        ups.append(jax.vmap(lambda m: resize_bilinear_2d(m, hw))(f))
+    return jnp.concatenate(ups, axis=-1)          # (nv, H, W, 3 + c*L)
+
+
+def lookup_feature_fused(pts, fused, intrs, c2ws, hw_levels):
+    """Fused-pyramid variant of ``lookup_feature``.
+
+    fused: (nv, h, w, 3 + c*L) from ``fuse_pyramid``; hw_levels: list of the
+    original per-level (h_i, w_i) used for the per-level visibility bounds
+    (projector.py:536 checks half-open bounds at every level).
+    Returns the same (rgb_feat, ray_diff, mask) triple.
+    """
+    src_intrs = intrs[1:]
+    src_c2ws = c2ws[1:]
+    h, w = fused.shape[1:3]
+
+    ray_diff = compute_ray_diff(pts, c2ws[0], src_c2ws)
+
+    xy, depth = project_points_all(pts, src_intrs, src_c2ws)   # (s, n, ...)
+    xy = jax.lax.stop_gradient(xy)
+    depth = jax.lax.stop_gradient(depth)
+    grid = pixel_to_normalized(xy, (h, w))
+    warped = jax.vmap(
+        lambda f, g: bilinear_sample_2d(f, g, align_corners=False)
+    )(fused[1:], grid)                                          # (s, n, C)
+    rgb_feat = jnp.transpose(warped, (1, 0, 2))
+
+    # per-level masks from scaled pixel coordinates (no gathers needed)
+    mask = depth > 0
+    for i, (hi, wi) in enumerate(hw_levels):
+        sc = 0.5 ** i
+        xi = xy[..., 0] * sc
+        yi = xy[..., 1] * sc
+        mask = mask & (xi >= 0) & (xi < wi) & (yi >= 0) & (yi < hi)
+    return rgb_feat, ray_diff, jnp.transpose(mask, (1, 0))
