@@ -38,8 +38,8 @@ def main():
     from surf_tpu.data.synthetic import SyntheticDataset
     from surf_tpu.nn import surf, feature_net, implicit_surface
 
-    n_rays = int(os.environ.get("BENCH_RAYS", 8192))
-    base_dim = int(os.environ.get("BENCH_BASE_DIM", 64))
+    n_rays = int(os.environ.get("BENCH_RAYS", 4096))
+    base_dim = int(os.environ.get("BENCH_BASE_DIM", 48))
     n_stages = int(os.environ.get("BENCH_STAGES", 2))
     img_hw = (288, 400)
 

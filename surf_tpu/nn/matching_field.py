@@ -138,6 +138,10 @@ def apply(key, conf_static, ipts, matching_volume, stage_idx, range_ratios,
 
     pre_arg = pre_depths if pre_depths is not None \
         else jnp.zeros((nv, 1, 1), jnp.float32)
-    depths, occ_regs = jax.vmap(per_view)(
-        keys, intrs, c2ws, near_fars, pre_arg, keep_grad)
+    # sequential over views (lax.map = scan): one view's sample tensors live
+    # at a time — at stage 3 (704^3 volume, full-res rays) a vmap here would
+    # materialize all views' gather indices at once (~12 GB)
+    depths, occ_regs = jax.lax.map(
+        lambda args: per_view(*args),
+        (keys, intrs, c2ws, near_fars, pre_arg, keep_grad))
     return depths, occ_regs

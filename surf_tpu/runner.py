@@ -417,8 +417,10 @@ class Runner:
             stages_ff = stages[::-1]
             feats_ff = [f for f in features][::-1]
 
+            t_mesh = time.time()
             verts, tris, _ = self.extract_geometry(
                 self.params["implicit_surface"], stages_ff, self.mesh_resolution)
+            mesh_seconds = time.time() - t_mesh
             mesh = Mesh(verts, tris)
             if self.do_clean_mesh and "masks" in inputs:
                 mesh = clean_mesh(mesh, np.asarray(inputs["masks"]),
@@ -432,9 +434,12 @@ class Runner:
             mesh.export(os.path.join(self.base_exp_dir, "meshes",
                                      f"{scene}_epoch{epoch}.ply"))
 
+            t_render = time.time()
             color, normal, sdf_depth, render_depth = self.render_full_image(
                 self.params, k2, ipts, stages_ff, matching_volume,
                 feats_ff, feats_ff)
+            n_rays_scene = int(np.asarray(ipts["rays_o"]).shape[0])
+            rays_per_sec = n_rays_scene / max(time.time() - t_render, 1e-9)
 
             from PIL import Image
             for sub in ["val_img", "val_normal", "val_sdf_depth",
@@ -478,6 +483,8 @@ class Runner:
                 msdf = m * (sdf_depth > 0)
                 scalars["sdf_depth_loss"] = float(
                     (np.abs(sdf_depth - depth_ref) * msdf).sum() / (msdf.sum() + 1e-8))
+            scalars["mesh_seconds"] = mesh_seconds
+            scalars["rays_per_sec"] = rays_per_sec
             avg.update(scalars)
             print(f"[val {scene}] " + " ".join(
                 f"{k}={v:.4f}" for k, v in scalars.items()))
