@@ -233,8 +233,25 @@ class Runner:
         self._jit_cache["train_step"] = train_step
         return train_step
 
+    def _dp_setup(self):
+        """Multi-chip data parallelism: one scene per device on a ``data``
+        mesh (replaces the reference's DDP + DistributedSampler)."""
+        from .parallel import make_mesh, make_dp_train_step
+        n_dev = jax.device_count()
+        if n_dev <= 1 or not self.conf.get_bool("train.data_parallel", default=True):
+            return None
+        mesh = make_mesh()
+        step, sharded, replicated = make_dp_train_step(
+            self.optimizer, self.static, self.loss_cfg, mesh)
+        self.params = jax.device_put(self.params, replicated)
+        self.state = jax.device_put(self.state, replicated)
+        self.opt_state = jax.device_put(self.opt_state, replicated)
+        print(f"data parallel over {n_dev} devices")
+        return step, sharded, n_dev
+
     def train(self):
-        train_step = self._train_step_fn()
+        dp = self._dp_setup()
+        train_step = self._train_step_fn() if dp is None else None
         for epoch in range(self.start_epoch, self.epochs):
             self.train_loader.set_epoch(epoch)
             if epoch % 2 == 0:
@@ -242,16 +259,39 @@ class Runner:
                 self.state = surf.refresh_match_features(self.params, self.state)
 
             avg = DictAverageMeter()
-            n = len(self.train_loader)
+            it = iter(self.train_loader)
+            n_items = len(self.train_loader)
+            if dp is not None:
+                _, _, n_dev = dp
+                n = max(n_items // n_dev, 1)
+            else:
+                n = n_items
             t0 = time.time()
-            for batch_idx, inputs in enumerate(self.train_loader):
-                batch = to_device(inputs)
+            for batch_idx in range(n):
                 step_f = epoch + batch_idx / n
                 anneal = self.get_cos_anneal_ratio(step_f)
                 self.key, k = jax.random.split(self.key)
-                self.params, self.state, self.opt_state, res = train_step(
-                    self.params, self.state, self.opt_state, batch, k,
-                    jnp.float32(step_f), jnp.float32(anneal))
+                if dp is None:
+                    batch = to_device(next(it))
+                    self.params, self.state, self.opt_state, res = train_step(
+                        self.params, self.state, self.opt_state, batch, k,
+                        jnp.float32(step_f), jnp.float32(anneal))
+                else:
+                    from .parallel import stack_batches
+                    dp_step, sharded, n_dev = dp
+                    items = []
+                    for _ in range(n_dev):
+                        try:
+                            items.append(next(it))
+                        except StopIteration:
+                            it = iter(self.train_loader)
+                            items.append(next(it))
+                    batch = {kk: jax.device_put(jnp.asarray(v), sharded)
+                             for kk, v in stack_batches(items).items()}
+                    keys = jax.device_put(jax.random.split(k, n_dev), sharded)
+                    self.params, self.state, self.opt_state, res = dp_step(
+                        self.params, self.state, self.opt_state, batch, keys,
+                        jnp.float32(step_f), jnp.float32(anneal))
                 scalars = tensor2float(res)
                 avg.update(scalars)
                 global_step = batch_idx + epoch * n
