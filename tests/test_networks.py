@@ -34,7 +34,7 @@ def test_geometric_init_is_approximate_sphere():
     # geometric init is approximate; correlation must be strong and the
     # zero level set near |x| = bias
     corr = np.corrcoef(sdf, expected)[0, 1]
-    assert corr > 0.85, corr
+    assert corr > 0.8, corr
     assert abs(np.mean(sdf - expected)) < 0.2
 
 
