@@ -201,8 +201,13 @@ def compact_parents(scores, pvalid, capacity: int):
     """
     neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
     s = jnp.where(pvalid, scores, neg_inf)
-    top_scores, sel_idx = jax.lax.top_k(s, capacity)
+    k = min(capacity, s.shape[0])  # fewer candidates than capacity is fine
+    top_scores, sel_idx = jax.lax.top_k(s, k)
     sel_valid = top_scores > neg_inf
+    if k < capacity:
+        pad = capacity - k
+        sel_idx = jnp.concatenate([sel_idx, jnp.zeros(pad, sel_idx.dtype)])
+        sel_valid = jnp.concatenate([sel_valid, jnp.zeros(pad, bool)])
     return sel_idx.astype(jnp.int32), sel_valid
 
 
