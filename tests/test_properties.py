@@ -107,3 +107,47 @@ def test_trilinear_exact_at_grid_points():
     out = trilinear_sample_3d(vol, pts, align_corners=True)
     ref = np.asarray(vol)[idx[:, 0], idx[:, 1], idx[:, 2]]
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+def test_sample_pdf_matches_torch_reference():
+    """Importance sampler vs the reference's torch implementation semantics
+    (implicit_surface.py:14-48), deterministic mode."""
+    import torch
+    from surf_tpu.ops.sampling import sample_pdf
+
+    rng = np.random.RandomState(7)
+    bins = np.sort(rng.rand(4, 16).astype(np.float32), axis=1)
+    weights = rng.rand(4, 16).astype(np.float32)
+
+    ours = sample_pdf(jax.random.PRNGKey(0), jnp.asarray(bins),
+                      jnp.asarray(weights), 8, det=True)
+
+    tb, tw = torch.from_numpy(bins), torch.from_numpy(weights)
+    cdf = torch.cumsum(tw, 1) / (tw.sum(1)[:, None] + 1e-6)
+    u = torch.linspace(0.5 / 8, 1 - 0.5 / 8, 8).expand(4, 8).contiguous()
+    inds = torch.searchsorted(cdf, u, right=True)
+    below = torch.clamp(inds - 1, min=0)
+    above = torch.clamp(inds, max=15)
+    cdf_g = torch.stack([torch.gather(cdf, 1, below), torch.gather(cdf, 1, above)], -1)
+    bins_g = torch.stack([torch.gather(tb, 1, below), torch.gather(tb, 1, above)], -1)
+    denom = cdf_g[..., 1] - cdf_g[..., 0]
+    denom = torch.where(denom < 1e-5, torch.ones_like(denom), denom)
+    t = (u - cdf_g[..., 0]) / denom
+    ref = bins_g[..., 0] + t * (bins_g[..., 1] - bins_g[..., 0])
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=1e-5)
+
+
+def test_spherical_and_triplane_lookups():
+    from surf_tpu.ops.alt_grids import equirect2sphere, lookup_sphe_volume, lookup_triplane
+    rng = np.random.RandomState(8)
+    pts = jnp.asarray(rng.uniform(-2, 2, (32, 3)).astype(np.float32))
+    sphe = equirect2sphere(pts)
+    assert np.all(np.abs(np.asarray(sphe)[:, 0]) <= np.pi / 2 + 1e-6)
+    vol = jnp.asarray(rng.rand(8, 8, 8, 2).astype(np.float32))
+    out = lookup_sphe_volume(sphe, vol)
+    assert out.shape == (32, 2) and np.isfinite(np.asarray(out)).all()
+    tri = [{"xy": jnp.asarray(rng.rand(8, 8, 4).astype(np.float32)),
+            "xz": jnp.asarray(rng.rand(8, 8, 4).astype(np.float32)),
+            "yz": jnp.asarray(rng.rand(8, 8, 4).astype(np.float32))}]
+    f = lookup_triplane(jnp.clip(pts, -0.9, 0.9), tri)
+    assert f.shape == (32, 4) and np.isfinite(np.asarray(f)).all()
