@@ -205,18 +205,26 @@ def _down_conv_child_to_parent(p, grid, storage):
     return out
 
 
+def _scatter_parents_dense(grid, storage_p, pactive):
+    """Scatter parent rows into a dense (R/2)^3 volume (zeros elsewhere)."""
+    half = grid.res // 2
+    n3 = half ** 3
+    pc = jnp.clip(grid.parents, 0, half - 1)
+    idx = (pc[:, 0] * half + pc[:, 1]) * half + pc[:, 2]
+    idx = jnp.where(pactive, idx, n3)
+    flat = jnp.zeros((n3 + 1, storage_p.shape[-1]), storage_p.dtype)
+    flat = flat.at[idx].set(storage_p * pactive[:, None].astype(storage_p.dtype),
+                            mode="drop")
+    return flat[:n3].reshape(half, half, half, -1)
+
+
 def _down_conv_parent_to_dense(p, grid, storage_p, pactive, out_res):
-    """Stride-2 conv parents -> dense (out_res^3): gather-based (no huge
-    dense temp at parent resolution)."""
-    w = p["w"]
-    r = jnp.arange(out_res, dtype=jnp.int32)
-    q = jnp.stack(jnp.meshgrid(r, r, r, indexing="ij"), axis=-1).reshape(-1, 3)
-    out = None
-    for off in _OFFSETS:
-        x = _parent_gather(grid, storage_p, q * 2 + jnp.array(off, jnp.int32), pactive)
-        y = x @ _w_at(w, off)
-        out = y if out is None else out + y
-    return out.reshape(out_res, out_res, out_res, -1)
+    """Stride-2 conv parents -> dense (out_res^3): scatter the sparse parent
+    set into a dense (R/2)^3 volume and run one native XLA conv (a gather
+    formulation over a dense meshgrid bloats the graph enough to OOM the
+    compiler at fine stages)."""
+    dense = _scatter_parents_dense(grid, storage_p, pactive)[None]
+    return conv3d_apply(p, dense, stride=2)[0]
 
 
 def _up_conv_dense_to_parent(p, grid, dense):
