@@ -37,6 +37,14 @@ from .core import (
 from ..ops import sparse as sp
 
 _OFFSETS = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)]
+# all 27 taps stacked: gathers happen in ONE call and the contraction is a
+# single (N, 27*C) x (27*C, Cout) matmul on the MXU
+_OFFSETS_ARR = jnp.array(_OFFSETS, jnp.int32)           # (27, 3)
+
+
+def _w_flat(w):
+    """(3,3,3,Cin,Cout) -> (27*Cin, Cout), tap-major to match _OFFSETS_ARR."""
+    return w.reshape(27 * w.shape[3], w.shape[4])
 
 
 # ---------------------------------------------------------------------------
@@ -173,36 +181,24 @@ def _w_at(w, off):
 def _subm_conv_child(p, grid, storage):
     """Submanifold conv at child level: (P*8, Cin) -> (P*8, Cout)."""
     cc = grid.child_coords()
-    w = p["w"]
-    out = None
-    for off in _OFFSETS:
-        x = _child_gather(grid, storage, cc + jnp.array(off, jnp.int32))
-        y = x @ _w_at(w, off)
-        out = y if out is None else out + y
+    x = _child_gather(grid, storage, cc[:, None, :] + _OFFSETS_ARR)   # (N,27,C)
+    out = x.reshape(x.shape[0], -1) @ _w_flat(p["w"])
     return out * grid.cvalid[:, None].astype(out.dtype)
 
 
 def _subm_conv_parent(p, grid, storage_p, pactive):
     """Submanifold conv over the parent set: (P, Cin) -> (P, Cout)."""
-    w = p["w"]
-    out = None
-    for off in _OFFSETS:
-        x = _parent_gather(grid, storage_p, grid.parents + jnp.array(off, jnp.int32), pactive)
-        y = x @ _w_at(w, off)
-        out = y if out is None else out + y
+    x = _parent_gather(grid, storage_p,
+                       grid.parents[:, None, :] + _OFFSETS_ARR, pactive)
+    out = x.reshape(x.shape[0], -1) @ _w_flat(p["w"])
     return out * pactive[:, None].astype(out.dtype)
 
 
 def _down_conv_child_to_parent(p, grid, storage):
     """Stride-2 conv children -> parents: out[q] = sum_off w[off] x[2q+off]."""
-    w = p["w"]
-    base = grid.parents * 2
-    out = None
-    for off in _OFFSETS:
-        x = _child_gather(grid, storage, base + jnp.array(off, jnp.int32))
-        y = x @ _w_at(w, off)
-        out = y if out is None else out + y
-    return out
+    x = _child_gather(grid, storage,
+                      grid.parents[:, None, :] * 2 + _OFFSETS_ARR)
+    return x.reshape(x.shape[0], -1) @ _w_flat(p["w"])
 
 
 def _scatter_parents_dense(grid, storage_p, pactive):
@@ -230,36 +226,27 @@ def _down_conv_parent_to_dense(p, grid, storage_p, pactive, out_res):
 def _up_conv_dense_to_parent(p, grid, dense):
     """Transposed stride-2 conv dense (R/4) -> parent set (R/2):
     out[c] = sum_{off: (c-off) even} w[off] x[(c-off)/2]."""
-    w = p["w"]
     n = dense.shape[0]
     flat = dense.reshape(n ** 3, -1)
-    c = grid.parents
-    out = None
-    for off in _OFFSETS:
-        src2 = c - jnp.array(off, jnp.int32)
-        even = jnp.all((src2 & 1) == 0, axis=-1)
-        src = src2 >> 1
-        inb = jnp.all((src >= 0) & (src < n), axis=-1) & even
-        s = jnp.clip(src, 0, n - 1)
-        idx = (s[:, 0] * n + s[:, 1]) * n + s[:, 2]
-        x = flat[idx] * inb[:, None].astype(flat.dtype)
-        y = x @ _w_at(w, off)
-        out = y if out is None else out + y
-    return out
+    src2 = grid.parents[:, None, :] - _OFFSETS_ARR                    # (P,27,3)
+    even = jnp.all((src2 & 1) == 0, axis=-1)
+    src = src2 >> 1
+    inb = jnp.all((src >= 0) & (src < n), axis=-1) & even
+    sc = jnp.clip(src, 0, n - 1)
+    idx = (sc[..., 0] * n + sc[..., 1]) * n + sc[..., 2]
+    x = flat[idx.reshape(-1)].reshape(*idx.shape, flat.shape[-1])
+    x = x * inb[..., None].astype(flat.dtype)
+    return x.reshape(x.shape[0], -1) @ _w_flat(p["w"])
 
 
 def _up_conv_parent_to_child(p, grid, storage_p, pactive):
     """Transposed stride-2 conv parents -> children."""
-    w = p["w"]
     cc = grid.child_coords()
-    out = None
-    for off in _OFFSETS:
-        src2 = cc - jnp.array(off, jnp.int32)
-        even = jnp.all((src2 & 1) == 0, axis=-1)
-        src = src2 >> 1
-        x = _parent_gather(grid, storage_p, src, pactive) * even[:, None].astype(storage_p.dtype)
-        y = x @ _w_at(w, off)
-        out = y if out is None else out + y
+    src2 = cc[:, None, :] - _OFFSETS_ARR                              # (N,27,3)
+    even = jnp.all((src2 & 1) == 0, axis=-1)
+    x = _parent_gather(grid, storage_p, src2 >> 1, pactive)
+    x = x * even[..., None].astype(storage_p.dtype)
+    out = x.reshape(x.shape[0], -1) @ _w_flat(p["w"])
     return out * grid.cvalid[:, None].astype(out.dtype)
 
 
