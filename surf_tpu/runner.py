@@ -132,7 +132,12 @@ class Runner:
             print("Loading model...")
             ckpt = load_checkpoint(args.resume)
             if getattr(args, "load_vol", False):
-                self.vol_state = to_jax(ckpt["model"]["vol_state"])
+                from .ops.sparse import VoxelGrid
+                vs = to_jax(ckpt["model"]["vol_state"])
+                # VoxelGrid NamedTuples round-trip as plain tuples
+                vs["grids"] = [VoxelGrid(*g) for g in vs["grids"]]
+                vs["stages"] = list(zip(vs["grids"], vs["volumes"]))
+                self.vol_state = vs
                 self.params["implicit_surface"] = to_jax(
                     ckpt["model"]["implicit_surface"])
                 self.has_vol = True

@@ -92,3 +92,13 @@ def test_finetune(conf_path, tmp_path):
     runner.finetune()
     ckpts = os.listdir(os.path.join(runner.base_exp_dir, "checkpoints"))
     assert any(c.endswith(".npz") for c in ckpts)
+
+    # volume-only checkpoint reloads through --load_vol (surf.py:47-54)
+    ft_ckpt = os.path.join(runner.base_exp_dir, "checkpoints", sorted(ckpts)[-1])
+    args2 = make_args(tmp_path, "val", conf_path)
+    args2.resume = ft_ckpt
+    args2.load_vol = True
+    r2 = Runner(args2)
+    assert r2.has_vol
+    assert len(r2.vol_state["stages"]) == len(r2.vol_state["volumes"])
+    assert hasattr(r2.vol_state["grids"][0], "parent_table")
