@@ -98,13 +98,15 @@ def main():
     batch = {k: jnp.asarray(v) for k, v in batch_np.items() if not isinstance(v, str)}
     params, state, static = surf.init(jax.random.PRNGKey(0), conf["model"])
 
-    # build the cascade once (not part of the per-ray throughput metric)
-    @jax.jit
+    # build the cascade once (not part of the per-ray throughput metric);
+    # per-stage jits keep each compiled graph tractable at fine stages
+    feat_fn = jax.jit(feature_net.apply)
+
     def build(params, state, ipts, key):
-        features = feature_net.apply(params["feature_network"], ipts["imgs"])
+        features = feat_fn(params["feature_network"], ipts["imgs"])
         _, stages, matching_volume, _ = surf.build_volumes(
             key, params, state, static, ipts, features,
-            perturb=False, training=False)
+            perturb=False, training=False, jit_stages=True)
         return stages, matching_volume, features
 
     t0 = time.time()

@@ -73,71 +73,125 @@ def init(key, conf):
     return params, state, static
 
 
-def build_volumes(key, params, state, static, ipts, features, *,
-                  perturb, training=False):
-    """Run the sparsification cascade.
-
-    Returns (outputs, stages, matching_volume, new_reg_state) where
-    ``stages`` is a list of (VoxelGrid, feat_storage (P*8, d_out-1))
-    coarse-to-fine.
-    """
-    imgs = ipts["imgs"]
+def _stage_step(params, reg_state_s, static, ipts, features, key_s, carry,
+                *, s, perturb, training):
+    """One cascade stage.  carry = (grid, mid, depths, matching_volume); all
+    None at s=0.  Kept as a standalone function so orchestration can jit
+    stages independently (one 704^3-scale graph per stage compiles where a
+    monolithic 4-stage graph overwhelms the compiler)."""
     intrs = ipts["intrs"]
     c2ws = ipts["c2ws"]
     near, far = ipts["near"].reshape(-1)[0], ipts["far"].reshape(-1)[0]
     base_range = far - near
-    hw = imgs.shape[1:3]
+    hw = ipts["imgs"].shape[1:3]
+    grid, mid, depths, matching_volume = carry
+
+    stage_range = base_range * static["range_ratios"][s]
+    if s == 0:
+        grid = sp.dense_base_grid(static["base_dim"])
+        up_feats = None
+    else:
+        grid, up_feats = volume_mod.upsample_and_filter(
+            grid, mid, depths, intrs, c2ws, stage_range,
+            static["parent_caps"][s])
+
+    world = sp.voxel_centers_world(grid.child_coords(), grid.res)
+    bp_feats, frustum = volume_mod.back_project(
+        params["volume"], features, world, intrs, c2ws, s, hw)
+    cvalid = grid.cvalid & frustum
+    grid = grid._replace(cvalid=cvalid)
+    bp_feats = bp_feats * cvalid[:, None].astype(bp_feats.dtype)
+    feats = bp_feats if up_feats is None else jnp.concatenate(
+        [bp_feats, up_feats * cvalid[:, None].astype(up_feats.dtype)], axis=-1)
+
+    out, mid, reg_s = reg_net.apply(
+        params["reg_network"][s], reg_state_s, grid, feats,
+        training=training, dense_max_res=static["dense_unet_max_res"])
+
+    matching_volume = volume_mod.matching_and_mask_volume(
+        grid, out[:, :1], matching_volume)
+
+    depths, occ_regs = matching_field.apply(
+        key_s, static["matching_field"], ipts, matching_volume, s,
+        static["range_ratios"], None if s == 0 else depths, perturb=perturb)
+
+    src_idx = ipts.get("src_idx", None)
+    depth_src = depths[0] if src_idx is None else \
+        jnp.take(depths, jnp.asarray(src_idx), axis=0)
+    stage_out = {"storage": out[:, 1:], "depth": depths[0],
+                 "depth_src": depth_src, "occ_reg": occ_regs}
+    return (grid, mid, depths, matching_volume), stage_out, reg_s
+
+
+def _freeze(obj):
+    """Nested dict/list -> hashable tuples (cache key for per-stage jits)."""
+    if isinstance(obj, dict):
+        return tuple(sorted((k, _freeze(v)) for k, v in obj.items()))
+    if isinstance(obj, (list, tuple)):
+        return tuple(_freeze(v) for v in obj)
+    return obj
+
+
+def _thaw(obj):
+    if isinstance(obj, tuple) and obj and all(
+            isinstance(e, tuple) and len(e) == 2 and isinstance(e[0], str)
+            for e in obj):
+        return {k: _thaw(v) for k, v in obj}
+    if isinstance(obj, tuple):
+        return [_thaw(v) for v in obj]
+    return obj
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _jit_stage_cached(frozen_static, s, perturb, training):
+    static = _thaw(frozen_static)
+
+    def fn(params, reg_state_s, ipts, features, key_s, carry):
+        return _stage_step(params, reg_state_s, static, ipts, features,
+                           key_s, carry, s=s, perturb=perturb,
+                           training=training)
+
+    return jax.jit(fn)
+
+
+def build_volumes(key, params, state, static, ipts, features, *,
+                  perturb, training=False, jit_stages=False):
+    """Run the sparsification cascade.
+
+    Returns (outputs, stages, matching_volume, new_reg_state) where
+    ``stages`` is a list of (VoxelGrid, feat_storage (P*8, d_out-1))
+    coarse-to-fine.  With ``jit_stages`` each stage compiles as its own
+    graph (for host-orchestrated validation at full scale).
+    """
+    from functools import partial
 
     outputs = {}
     stages = []
-    matching_volume = None
-    depths = None
-    grid = None
-    mid = None
     new_reg_state = []
+    carry = (None, None, None, None)
 
     num_stage = static["num_stage"]
     keys = jax.random.split(key, num_stage)
     for s in range(num_stage):
-        stage_range = base_range * static["range_ratios"][s]
-        if s == 0:
-            grid = sp.dense_base_grid(static["base_dim"])
-            up_feats = None
+        if jit_stages:
+            fn = _jit_stage_cached(_freeze(static), s, perturb, training)
+            carry, stage_out, reg_s = fn(
+                params, state["reg_network"][s], ipts, features, keys[s], carry)
         else:
-            grid, up_feats = volume_mod.upsample_and_filter(
-                grid, mid, depths, intrs, c2ws, stage_range,
-                static["parent_caps"][s])
-
-        world = sp.voxel_centers_world(grid.child_coords(), grid.res)
-        bp_feats, frustum = volume_mod.back_project(
-            params["volume"], features, world, intrs, c2ws, s, hw)
-        cvalid = grid.cvalid & frustum
-        grid = grid._replace(cvalid=cvalid)
-        bp_feats = bp_feats * cvalid[:, None].astype(bp_feats.dtype)
-        feats = bp_feats if up_feats is None else jnp.concatenate(
-            [bp_feats, up_feats * cvalid[:, None].astype(up_feats.dtype)], axis=-1)
-
-        out, mid, reg_s = reg_net.apply(
-            params["reg_network"][s], state["reg_network"][s], grid, feats,
-            training=training, dense_max_res=static["dense_unet_max_res"])
+            carry, stage_out, reg_s = _stage_step(
+                params, state["reg_network"][s], static, ipts, features,
+                keys[s], carry, s=s, perturb=perturb, training=training)
+        grid = carry[0]
+        stages.append((grid, stage_out["storage"]))
         new_reg_state.append(reg_s)
+        outputs[f"depth_stage{s}"] = stage_out["depth"]
+        outputs[f"depth_src_stage{s}"] = stage_out["depth_src"]
+        outputs[f"occ_reg_stage{s}"] = stage_out["occ_reg"]
 
-        matching_volume = volume_mod.matching_and_mask_volume(
-            grid, out[:, :1], matching_volume)
-        stages.append((grid, out[:, 1:]))
-
-        depths, occ_regs = matching_field.apply(
-            keys[s], static["matching_field"], ipts, matching_volume, s,
-            static["range_ratios"], None if s == 0 else depths, perturb=perturb)
-
-        outputs[f"depth_stage{s}"] = depths[0]
-        src_idx = ipts.get("src_idx", None)
-        if src_idx is not None:
-            outputs[f"depth_src_stage{s}"] = jnp.take(depths, jnp.asarray(src_idx), axis=0)
-        else:
-            outputs[f"depth_src_stage{s}"] = depths[0]
-        outputs[f"occ_reg_stage{s}"] = occ_regs
-
+    matching_volume = carry[3]
     return outputs, stages, matching_volume, {"reg_network": new_reg_state}
 
 

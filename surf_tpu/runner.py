@@ -330,13 +330,15 @@ class Runner:
     def _build_volumes_jit(self):
         if "build_volumes" not in self._jit_cache:
             static = self.static
+            feat_fn = jax.jit(feature_net.apply)
 
-            @jax.jit
             def build(params, state, ipts, key):
-                features = feature_net.apply(params["feature_network"], ipts["imgs"])
+                # per-stage jits: at full scale one monolithic cascade graph
+                # overwhelms the compiler; each stage compiles independently
+                features = feat_fn(params["feature_network"], ipts["imgs"])
                 outputs, stages, matching_volume, _ = surf.build_volumes(
                     key, params, state, static, ipts, features,
-                    perturb=False, training=False)
+                    perturb=False, training=False, jit_stages=True)
                 return outputs, stages, matching_volume, features
 
             self._jit_cache["build_volumes"] = build
