@@ -47,6 +47,24 @@ def _w_flat(w):
     return w.reshape(27 * w.shape[3], w.shape[4])
 
 
+_CHUNK_ROWS = 131072  # bounds the (chunk, 27, C) gather temp to ~0.5 GB
+
+
+def _chunked_rows(fn, n_rows):
+    """Apply fn over row chunks via lax.map: same result as fn(arange(n)),
+    but the (chunk, 27, C) stacked-tap temporaries live one chunk at a time
+    (an unchunked gather at fine stages is several GB per conv and OOMs)."""
+    if n_rows <= _CHUNK_ROWS:
+        return fn(jnp.arange(n_rows, dtype=jnp.int32))
+    n_chunks = -(-n_rows // _CHUNK_ROWS)
+    pad = n_chunks * _CHUNK_ROWS - n_rows
+    idx = jnp.arange(n_chunks * _CHUNK_ROWS, dtype=jnp.int32).reshape(
+        n_chunks, _CHUNK_ROWS)
+    idx = jnp.minimum(idx, n_rows - 1)
+    out = jax.lax.map(fn, idx)
+    return out.reshape(n_chunks * _CHUNK_ROWS, -1)[:n_rows]
+
+
 # ---------------------------------------------------------------------------
 # init
 # ---------------------------------------------------------------------------
@@ -181,8 +199,13 @@ def _w_at(w, off):
 def _subm_conv_child(p, grid, storage):
     """Submanifold conv at child level: (P*8, Cin) -> (P*8, Cout)."""
     cc = grid.child_coords()
-    x = _child_gather(grid, storage, cc[:, None, :] + _OFFSETS_ARR)   # (N,27,C)
-    out = x.reshape(x.shape[0], -1) @ _w_flat(p["w"])
+    wf = _w_flat(p["w"])
+
+    def chunk_fn(rows):
+        x = _child_gather(grid, storage, cc[rows][:, None, :] + _OFFSETS_ARR)
+        return x.reshape(x.shape[0], -1) @ wf
+
+    out = _chunked_rows(chunk_fn, cc.shape[0])
     return out * grid.cvalid[:, None].astype(out.dtype)
 
 
@@ -242,11 +265,16 @@ def _up_conv_dense_to_parent(p, grid, dense):
 def _up_conv_parent_to_child(p, grid, storage_p, pactive):
     """Transposed stride-2 conv parents -> children."""
     cc = grid.child_coords()
-    src2 = cc[:, None, :] - _OFFSETS_ARR                              # (N,27,3)
-    even = jnp.all((src2 & 1) == 0, axis=-1)
-    x = _parent_gather(grid, storage_p, src2 >> 1, pactive)
-    x = x * even[..., None].astype(storage_p.dtype)
-    out = x.reshape(x.shape[0], -1) @ _w_flat(p["w"])
+    wf = _w_flat(p["w"])
+
+    def chunk_fn(rows):
+        src2 = cc[rows][:, None, :] - _OFFSETS_ARR                    # (n,27,3)
+        even = jnp.all((src2 & 1) == 0, axis=-1)
+        x = _parent_gather(grid, storage_p, src2 >> 1, pactive)
+        x = x * even[..., None].astype(storage_p.dtype)
+        return x.reshape(x.shape[0], -1) @ wf
+
+    out = _chunked_rows(chunk_fn, cc.shape[0])
     return out * grid.cvalid[:, None].astype(out.dtype)
 
 
