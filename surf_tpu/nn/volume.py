@@ -69,22 +69,42 @@ def back_project(params, features, world_pts, intrs, c2ws, stage_idx, hw):
     return feat_vol, frustum
 
 
+_DC_CHUNK = 524288
+
+
 def depth_consistency(world_pts, cand_valid, depths, intrs, c2ws, stage_range):
     """Per-voxel count of views whose rendered depth matches the voxel's
     projected depth within ``stage_range`` (volume.py:144-163).
 
     depths: (nv, H, W) full-resolution matching-field depths.
     Returns (count (N,), keep (N,)) with keep = count > 1 & cand_valid.
+    Chunked over candidates: at fine stages there are millions of candidate
+    voxels and the per-view projection/bilinear temporaries (with TPU lane
+    padding on the small corner dims) otherwise exceed HBM.
     """
     nv, H, W = depths.shape
-    xy, depth = project_points_all(world_pts, intrs, c2ws)   # (nv, N, ...)
-    grid = pixel_to_normalized(xy, (H, W))
-    mask = in_frustum_mask(xy, depth, (H, W), inclusive=True)
-    warp = jax.vmap(
-        lambda d, g: bilinear_sample_2d(d[..., None], g, align_corners=True)[..., 0]
-    )(depths, grid)
-    ok = (jnp.abs(warp - depth) < stage_range) & mask
-    counts = jnp.sum(ok.astype(jnp.int32), axis=0)
+    n = world_pts.shape[0]
+
+    def count_chunk(pts):
+        xy, depth = project_points_all(pts, intrs, c2ws)      # (nv, c, ...)
+        grid = pixel_to_normalized(xy, (H, W))
+        mask = in_frustum_mask(xy, depth, (H, W), inclusive=True)
+        warp = jax.vmap(
+            lambda d, g: bilinear_sample_2d(d[..., None], g,
+                                            align_corners=True)[..., 0]
+        )(depths, grid)
+        ok = (jnp.abs(warp - depth) < stage_range) & mask
+        return jnp.sum(ok.astype(jnp.int32), axis=0)
+
+    if n <= _DC_CHUNK:
+        counts = count_chunk(world_pts)
+    else:
+        n_chunks = -(-n // _DC_CHUNK)
+        pad = n_chunks * _DC_CHUNK - n
+        pts = jnp.concatenate(
+            [world_pts, jnp.zeros((pad, 3), world_pts.dtype)]) if pad else world_pts
+        counts = jax.lax.map(count_chunk,
+                             pts.reshape(n_chunks, _DC_CHUNK, 3)).reshape(-1)[:n]
     keep = (counts > 1) & cand_valid
     return counts, keep
 
