@@ -35,38 +35,56 @@ def init(key, conf):
     return params
 
 
-def back_project(params, features, world_pts, intrs, c2ws, stage_idx, hw):
+def back_project(params, features, world_pts, intrs, c2ws, stage_idx, hw,
+                 chunk=262144):
     """features: list of (nv, h_s, w_s, c) low-res -> high-res.
 
     world_pts: (N, 3).  Returns (feat (N, 2c), frustum_mask (N,)).
+    Chunked over points (millions of candidate voxels at fine stages — the
+    per-view per-level bilinear temporaries would exceed HBM unchunked).
     """
-    nv = intrs.shape[0]
     h, w = features[-1].shape[1:3]
 
-    xy, depth = project_points_all(world_pts, intrs, c2ws)  # (nv, N, 2/[])
-    xy = jax.lax.stop_gradient(xy)
-    depth = jax.lax.stop_gradient(depth)
-    # normalization uses the *finest* feature resolution (volume.py:62,73-74)
-    grid = pixel_to_normalized(xy, (h, w))
-    mask = in_frustum_mask(xy, depth, (h, w), inclusive=True)  # (nv, N)
+    def bp_chunk(pts):
+        xy, depth = project_points_all(pts, intrs, c2ws)  # (nv, c, 2/[])
+        xy = jax.lax.stop_gradient(xy)
+        depth = jax.lax.stop_gradient(depth)
+        # normalization uses the *finest* feature resolution (volume.py:62,73-74)
+        grid = pixel_to_normalized(xy, (h, w))
+        mask = in_frustum_mask(xy, depth, (h, w), inclusive=True)  # (nv, c)
 
-    warp = None
-    for feat in features[stage_idx:]:
-        sampled = jax.vmap(lambda f, g: bilinear_sample_2d(f, g, align_corners=True))(feat, grid)
-        warp = sampled if warp is None else warp + sampled  # (nv, N, c)
+        warp = None
+        for feat in features[stage_idx:]:
+            sampled = jax.vmap(
+                lambda f, g: bilinear_sample_2d(f, g, align_corners=True))(feat, grid)
+            warp = sampled if warp is None else warp + sampled  # (nv, c, ch)
 
-    x = linear_apply(params["agg_mlp"][1], elu(linear_apply(params["agg_mlp"][0], warp)))
-    x = jnp.where(mask[..., None], x, -1e9)
-    wgt = jax.nn.softmax(x, axis=0)  # over views
+        x = linear_apply(params["agg_mlp"][1],
+                         elu(linear_apply(params["agg_mlp"][0], warp)))
+        x = jnp.where(mask[..., None], x, -1e9)
+        wgt = jax.nn.softmax(x, axis=0)  # over views
 
-    fw = warp * wgt
-    mean = jnp.sum(fw, axis=0)
-    # the reference's (intentional or not) variance form, volume.py:93:
-    # sum((f*w)^2) - (sum(f*w))^2 — replicated exactly for weight parity
-    var = jnp.sum(fw ** 2, axis=0) - mean ** 2
-    feat_vol = jnp.concatenate([mean, var], axis=-1)
-    frustum = jnp.sum(mask, axis=0) > 1
-    return feat_vol, frustum
+        fw = warp * wgt
+        mean = jnp.sum(fw, axis=0)
+        # the reference's (intentional or not) variance form, volume.py:93:
+        # sum((f*w)^2) - (sum(f*w))^2 — replicated exactly for weight parity
+        var = jnp.sum(fw ** 2, axis=0) - mean ** 2
+        feat_vol = jnp.concatenate([mean, var], axis=-1)
+        frustum = jnp.sum(mask, axis=0) > 1
+        return feat_vol, frustum.astype(jnp.float32)
+
+    n = world_pts.shape[0]
+    if n <= chunk:
+        feat_vol, frustum = bp_chunk(world_pts)
+        return feat_vol, frustum > 0
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+    pts = jnp.concatenate([world_pts, jnp.zeros((pad, 3), world_pts.dtype)]) \
+        if pad else world_pts
+    feat_vol, frustum = jax.lax.map(bp_chunk, pts.reshape(n_chunks, chunk, 3))
+    c2 = feat_vol.shape[-1]
+    return (feat_vol.reshape(-1, c2)[:n],
+            frustum.reshape(-1)[:n] > 0)
 
 
 _DC_CHUNK = 524288
