@@ -120,13 +120,21 @@ def main():
     warp_feats = jax.jit(implicit_surface.prepare_patch_features)(
         feats_ff, feats_ff, 2.0)
 
+    # NB: pass volumes/features as ARGUMENTS — closing over multi-hundred-MB
+    # device arrays embeds them in the serialized HLO (blows compile limits)
     @jax.jit
-    def render(params, key, rays_o, rays_d, near, far):
+    def render_fn(params, key, rays_o, rays_d, near, far, matching_volume,
+                  stages_ff, feats_ff, warp_feats, imgs, intrs, c2ws):
         return implicit_surface.render(
             key, params["implicit_surface"], static["implicit_surface"],
             rays_o, rays_d, near, far, matching_volume, stages_ff,
-            feats_ff, feats_ff, batch["imgs"], batch["intrs"], batch["c2ws"],
+            feats_ff, feats_ff, imgs, intrs, c2ws,
             1.0, 2.0, warp_feats=warp_feats)["color_fine"]
+
+    def render(params, key, rays_o, rays_d, near, far):
+        return render_fn(params, key, rays_o, rays_d, near, far,
+                         matching_volume, stages_ff, feats_ff, warp_feats,
+                         batch["imgs"], batch["intrs"], batch["c2ws"])
 
     rays_o = batch["rays_o"][:n_rays]
     rays_d = batch["rays_d"][:n_rays]
