@@ -149,12 +149,19 @@ import functools
 def _jit_stage_cached(frozen_static, s, perturb, training):
     static = _thaw(frozen_static)
 
-    def fn(params, reg_state_s, ipts, features, key_s, carry):
-        return _stage_step(params, reg_state_s, static, ipts, features,
-                           key_s, carry, s=s, perturb=perturb,
-                           training=training)
+    # carry split so the consumable inter-stage buffers (mid features,
+    # depths, previous matching volume) can be DONATED — at full scale the
+    # previous stage's volumes otherwise stay live through the next stage's
+    # peak.  The grid is kept out of donation: the caller retains it in the
+    # stages list.
+    def fn(params, reg_state_s, ipts, features, key_s, grid, rest):
+        carry = (grid, *rest)
+        new_carry, stage_out, reg_s = _stage_step(
+            params, reg_state_s, static, ipts, features, key_s, carry,
+            s=s, perturb=perturb, training=training)
+        return new_carry[0], tuple(new_carry[1:]), stage_out, reg_s
 
-    return jax.jit(fn)
+    return jax.jit(fn, donate_argnums=(6,))
 
 
 def build_volumes(key, params, state, static, ipts, features, *,
@@ -178,8 +185,10 @@ def build_volumes(key, params, state, static, ipts, features, *,
     for s in range(num_stage):
         if jit_stages:
             fn = _jit_stage_cached(_freeze(static), s, perturb, training)
-            carry, stage_out, reg_s = fn(
-                params, state["reg_network"][s], ipts, features, keys[s], carry)
+            grid_new, rest_new, stage_out, reg_s = fn(
+                params, state["reg_network"][s], ipts, features, keys[s],
+                carry[0], tuple(carry[1:]))
+            carry = (grid_new, *rest_new)
         else:
             carry, stage_out, reg_s = _stage_step(
                 params, state["reg_network"][s], static, ipts, features,
