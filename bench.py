@@ -66,6 +66,7 @@ def main():
         volume {{
             base_volume_dim = [{base_dim}, {base_dim}, {base_dim}]
             stage_parent_capacity = [{(base_dim // 2) ** 3}, {min((base_dim // 2) ** 3, 131072)}, 262144, 393216]
+            matching_dtype = {os.environ.get("BENCH_MATCH_DTYPE", "float32")}
         }}
         reg_network {{ d_in = [{d_in_reg}]  d_base = [{ones8}]  d_out = [{ones8}] }}
         matching_field {{

@@ -64,6 +64,11 @@ def init(key, conf):
         "base_dim": base_dim,
         "parent_caps": parent_caps,
         "dense_unet_max_res": conf.get_int("dense_unet_max_res", default=176),
+        # dtype of the dense matching (density) volumes: at 704^3 the fp32
+        # volume + its 2x-upsampled successor dominate HBM; bfloat16 halves
+        # them (density feeds a softmax — ~3 significant digits suffice)
+        "matching_dtype": conf.get_string("volume.matching_dtype",
+                                          default="float32"),
         "matching_field": {
             "n_samples_depths": conf.get_list("matching_field.n_samples_depths"),
             "depth_res_levels": conf.get_list("matching_field.depth_res_levels"),
@@ -108,8 +113,9 @@ def _stage_step(params, reg_state_s, static, ipts, features, key_s, carry,
         params["reg_network"][s], reg_state_s, grid, feats,
         training=training, dense_max_res=static["dense_unet_max_res"])
 
+    mdtype = jnp.dtype(static.get("matching_dtype", "float32"))
     matching_volume = volume_mod.matching_and_mask_volume(
-        grid, out[:, :1], matching_volume)
+        grid, out[:, :1].astype(mdtype), matching_volume)
 
     depths, occ_regs = matching_field.apply(
         key_s, static["matching_field"], ipts, matching_volume, s,
