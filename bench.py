@@ -39,8 +39,10 @@ def main():
     from surf_tpu.nn import surf, feature_net, implicit_surface
 
     n_rays = int(os.environ.get("BENCH_RAYS", 4096))
-    base_dim = int(os.environ.get("BENCH_BASE_DIM", 48))
-    n_stages = int(os.environ.get("BENCH_STAGES", 2))
+    # defaults = the FULL reference protocol: 4-stage cascade 88^3 -> 704^3,
+    # 136 samples/ray (64+32+24+16), bf16 density volumes
+    base_dim = int(os.environ.get("BENCH_BASE_DIM", 88))
+    n_stages = int(os.environ.get("BENCH_STAGES", 4))
     img_hw = (288, 400)
 
     ratios = [1.0, 0.4, 0.1, 0.01][:n_stages]
@@ -66,7 +68,7 @@ def main():
         volume {{
             base_volume_dim = [{base_dim}, {base_dim}, {base_dim}]
             stage_parent_capacity = [{(base_dim // 2) ** 3}, {min((base_dim // 2) ** 3, 131072)}, 262144, 393216]
-            matching_dtype = {os.environ.get("BENCH_MATCH_DTYPE", "float32")}
+            matching_dtype = {os.environ.get("BENCH_MATCH_DTYPE", "bfloat16")}
         }}
         reg_network {{ d_in = [{d_in_reg}]  d_base = [{ones8}]  d_out = [{ones8}] }}
         matching_field {{
@@ -148,7 +150,7 @@ def main():
     jax.block_until_ready(out)
     compile_time = time.time() - t0
 
-    iters = int(os.environ.get("BENCH_ITERS", 10))
+    iters = int(os.environ.get("BENCH_ITERS", 5))
     t0 = time.time()
     for i in range(iters):
         key, k = jax.random.split(key)
