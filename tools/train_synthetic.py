@@ -45,7 +45,24 @@ def main():
     mc = conf["model"]
     mc["volume"]["base_volume_dim"] = [args.base_dim] * 3
     mc["volume"]["stage_parent_capacity"] = \
-        [(args.base_dim // 2) ** 3, (args.base_dim // 2) ** 3 * 2, 262144][:n_stages]
+        [(args.base_dim // 2) ** 3, (args.base_dim // 2) ** 3 * 2, 262144,
+         393216][:n_stages]
+    # the tiny base conf is 2-stage; widen every per-stage list to n_stages
+    mc["range_ratios"] = [1.0, 0.4, 0.1, 0.01][:n_stages]
+    mc["feature_network"]["d_out"] = [4] * n_stages
+    mc["reg_network"]["d_in"] = [8] + [16] * (n_stages - 1)
+    mc["reg_network"]["d_base"] = [8] * n_stages
+    mc["reg_network"]["d_out"] = [8] * n_stages
+    mf = mc["matching_field"]
+    mf["n_samples_depths"] = [128, 64, 32, 16][:n_stages]
+    mf["n_importance_depths"] = [128, 64, 32, 16][:n_stages]
+    mf["up_sample_steps"] = [4] * n_stages
+    mf["depth_res_levels"] = [4, 2, 2, 1][:n_stages]
+    isf = mc["implicit_surface"]
+    isf["render"]["n_samples"] = [64, 32, 24, 16][:n_stages]
+    isf["render"]["sample_ranges"] = [1.0, 0.4, 0.1, 0.01][:n_stages]
+    isf["sdf_network"]["feat_channels"] = 7 * n_stages
+    isf["color_network"]["d_feature"] = 4 * n_stages
     conf["train_dataset"]["img_hw"] = list(args.img)
     conf["train_dataset"]["n_rays"] = args.n_rays
     conf["train_dataset"]["n_scenes"] = 1
