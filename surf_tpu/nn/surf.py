@@ -69,6 +69,7 @@ def init(key, conf):
         # them (density feeds a softmax — ~3 significant digits suffice)
         "matching_dtype": conf.get_string("volume.matching_dtype",
                                           default="float32"),
+        "remat_stages": conf.get_bool("remat_stages", default=True),
         "matching_field": {
             "n_samples_depths": conf.get_list("matching_field.n_samples_depths"),
             "depth_res_levels": conf.get_list("matching_field.depth_res_levels"),
@@ -196,9 +197,21 @@ def build_volumes(key, params, state, static, ipts, features, *,
                 carry[0], tuple(carry[1:]))
             carry = (grid_new, *rest_new)
         else:
-            carry, stage_out, reg_s = _stage_step(
-                params, state["reg_network"][s], static, ipts, features,
-                keys[s], carry, s=s, perturb=perturb, training=training)
+            def stage_fn(params_, reg_state_, ipts_, features_, key_, carry_,
+                         _s=s):
+                return _stage_step(params_, reg_state_, static, ipts_,
+                                   features_, key_, carry_, s=_s,
+                                   perturb=perturb, training=training)
+
+            if training and static.get("remat_stages", True):
+                # rematerialize each cascade stage in the backward pass:
+                # keeping every stage's activations alive pushes the full
+                # train step past HBM (jax.checkpoint trades ~1 extra
+                # forward per stage for the win)
+                stage_fn = jax.checkpoint(stage_fn)
+            carry, stage_out, reg_s = stage_fn(
+                params, state["reg_network"][s], ipts, features, keys[s],
+                carry)
         grid = carry[0]
         stages.append((grid, stage_out["storage"]))
         new_reg_state.append(reg_s)
