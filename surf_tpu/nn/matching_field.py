@@ -142,6 +142,6 @@ def apply(key, conf_static, ipts, matching_volume, stage_idx, range_ratios,
     # at a time — at stage 3 (704^3 volume, full-res rays) a vmap here would
     # materialize all views' gather indices at once (~12 GB)
     depths, occ_regs = jax.lax.map(
-        lambda args: per_view(*args),
+        jax.checkpoint(lambda args: per_view(*args)),
         (keys, intrs, c2ws, near_fars, pre_arg, keep_grad))
     return depths, occ_regs

@@ -61,7 +61,9 @@ def _chunked_rows(fn, n_rows):
     idx = jnp.arange(n_chunks * _CHUNK_ROWS, dtype=jnp.int32).reshape(
         n_chunks, _CHUNK_ROWS)
     idx = jnp.minimum(idx, n_rows - 1)
-    out = jax.lax.map(fn, idx)
+    # remat: without it lax.map stacks every chunk's gather residuals for
+    # the backward pass, recreating the unchunked memory footprint
+    out = jax.lax.map(jax.checkpoint(fn), idx)
     return out.reshape(n_chunks * _CHUNK_ROWS, -1)[:n_rows]
 
 

@@ -81,7 +81,8 @@ def back_project(params, features, world_pts, intrs, c2ws, stage_idx, hw,
     pad = n_chunks * chunk - n
     pts = jnp.concatenate([world_pts, jnp.zeros((pad, 3), world_pts.dtype)]) \
         if pad else world_pts
-    feat_vol, frustum = jax.lax.map(bp_chunk, pts.reshape(n_chunks, chunk, 3))
+    feat_vol, frustum = jax.lax.map(jax.checkpoint(bp_chunk),
+                                    pts.reshape(n_chunks, chunk, 3))
     c2 = feat_vol.shape[-1]
     return (feat_vol.reshape(-1, c2)[:n],
             frustum.reshape(-1)[:n] > 0)
