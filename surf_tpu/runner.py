@@ -147,11 +147,9 @@ class Runner:
                     self.state = to_jax(ckpt["state"])
                 if self.mode == "train" and "opt_state" in ckpt:
                     print("Loading optimizer/scheduler state...")
-                    self.opt_state = jax.tree.map(
-                        jnp.asarray, ckpt["opt_state"],
-                        is_leaf=lambda x: isinstance(x, np.ndarray))
                     self.opt_state = _restore_opt_state(
-                        self.optimizer, self._trainable(self.params), ckpt["opt_state"])
+                        self.optimizer, self._trainable(self.params),
+                        ckpt["opt_state"], ckpt.get("opt_struct"))
                     self.start_epoch = int(ckpt["epoch"]) + 1
 
         if self.mode == "finetune":
@@ -321,6 +319,7 @@ class Runner:
             "model": jax.tree.map(np.asarray, self.params),
             "state": jax.tree.map(np.asarray, self.state),
             "opt_state": jax.tree.map(np.asarray, _opt_state_to_tree(self.opt_state)),
+            "opt_struct": _opt_state_fingerprint(self.opt_state),
         }
         save_checkpoint(os.path.join(ckpt_dir, f"model_{epoch:0>3}.ckpt.npz"), tree)
 
@@ -718,10 +717,55 @@ def _opt_state_to_tree(opt_state):
     return jax.tree.map(np.asarray, jax.tree_util.tree_map(lambda x: x, opt_state))
 
 
-def _restore_opt_state(optimizer, params, tree):
-    """Rebuild the optax state structure from saved leaves."""
+def _opt_state_fingerprint(opt_state):
+    """Stable structure fingerprint: key path + shape + dtype per leaf.
+
+    Saved alongside the checkpoint so a resume can prove the optax state
+    layout is unchanged before positionally re-attaching leaves (optax states
+    are NamedTuples whose types don't survive npz round-trips)."""
+    entries = []
+    for path, leaf in jax.tree_util.tree_flatten_with_path(opt_state)[0]:
+        arr = np.asarray(leaf)
+        entries.append(f"{jax.tree_util.keystr(path)}:{arr.shape}:{arr.dtype}")
+    return "|".join(entries)
+
+
+def _restore_opt_state(optimizer, params, tree, saved_struct=None):
+    """Rebuild the optax state structure from saved leaves.
+
+    The positional unflatten is only sound when the live optimizer produces
+    the exact same state structure as the one that was saved — so verify it:
+    via the saved fingerprint when present (new checkpoints), and always via
+    per-leaf shape/dtype agreement with a freshly-initialized template.
+    """
     template = optimizer.init(params)
+    if saved_struct is not None:
+        current = _opt_state_fingerprint(template)
+        saved = str(np.asarray(saved_struct))
+        if saved != current:
+            # excerpt around the first divergence so the mismatch is visible
+            i = next((j for j, (a, b) in enumerate(zip(saved, current))
+                      if a != b), min(len(saved), len(current)))
+            lo = max(0, i - 80)
+            raise ValueError(
+                "Optimizer state structure changed between save and resume "
+                "(optax internals or LR-group partition differ); refusing a "
+                f"positional restore. First divergence at char {i}:\n "
+                f"saved:   ...{saved[lo:i + 160]}\n "
+                f"current: ...{current[lo:i + 160]}")
     leaves_saved = jax.tree_util.tree_leaves(tree)
-    treedef = jax.tree_util.tree_structure(template)
-    return jax.tree_util.tree_unflatten(
-        treedef, [jnp.asarray(x) for x in leaves_saved])
+    tmpl_paths, treedef = jax.tree_util.tree_flatten_with_path(template)
+    if len(leaves_saved) != len(tmpl_paths):
+        raise ValueError(
+            f"Optimizer state leaf count mismatch: checkpoint has "
+            f"{len(leaves_saved)}, current optimizer expects {len(tmpl_paths)}")
+    out = []
+    for saved_leaf, (path, tmpl_leaf) in zip(leaves_saved, tmpl_paths):
+        a = jnp.asarray(saved_leaf)
+        t = np.asarray(tmpl_leaf)
+        if a.shape != t.shape:
+            raise ValueError(
+                f"Optimizer state leaf {jax.tree_util.keystr(path)} shape "
+                f"mismatch: checkpoint {a.shape} vs expected {t.shape}")
+        out.append(a.astype(t.dtype))
+    return jax.tree_util.tree_unflatten(treedef, out)

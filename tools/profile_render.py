@@ -33,7 +33,7 @@ def timed(name, fn, *args, iters=10):
         out = fn(*args)
     jax.block_until_ready(out)
     dt = (time.time() - t0) / iters * 1000
-    print(f"{name:32s} {dt:8.2f} ms")
+    print(f"{name:32s} {dt:8.2f} ms", flush=True)
     return out
 
 
@@ -74,19 +74,20 @@ def main():
     batch = {k: jnp.asarray(v) for k, v in ds[0].items() if not isinstance(v, str)}
     params, state, static = surf.init(jax.random.PRNGKey(0), model_conf)
 
-    @jax.jit
+    feat_fn = jax.jit(feature_net.apply)
+
     def build(params, state, ipts, key):
-        features = feature_net.apply(params["feature_network"], ipts["imgs"])
+        features = feat_fn(params["feature_network"], ipts["imgs"])
         _, stages, mv, _ = surf.build_volumes(
             key, params, state, static, ipts, features, perturb=False,
-            training=False)
+            training=False, jit_stages=True)
         return stages, mv, features
 
     t0 = time.time()
     stages, matching_volume, features = build(params, state, batch,
                                               jax.random.PRNGKey(1))
     jax.block_until_ready(matching_volume)
-    print(f"build_volumes (compile+run)      {time.time() - t0:8.1f} s")
+    print(f"build_volumes (compile+run)      {time.time() - t0:8.1f} s", flush=True)
     timed("build_volumes steady", lambda: build(params, state, batch,
                                                 jax.random.PRNGKey(1))[1], iters=3)
 
