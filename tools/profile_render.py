@@ -62,7 +62,11 @@ def main():
     model_conf["implicit_surface"]["sdf_network"]["feat_channels"] = 7 * n_stages
     model_conf["implicit_surface"]["color_network"]["d_feature"] = 4 * n_stages
     model_conf["volume"]["stage_parent_capacity"] = \
-        [(base_dim // 2) ** 3, (base_dim // 2) ** 3, 262144, 393216][:n_stages]
+        [(base_dim // 2) ** 3, min((base_dim // 2) ** 3, 131072),
+         262144, 393216][:n_stages]
+    # match bench.py: bf16 density volumes (fp32 at 704^3 OOMs one chip)
+    model_conf["volume"]["matching_dtype"] = \
+        os.environ.get("PROF_MATCH_DTYPE", "bfloat16")
 
     ds_conf = ConfigFactory.parse_string("""
     ds { num_src_view = 2
