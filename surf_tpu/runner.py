@@ -45,14 +45,17 @@ from .utils.tools import save_scalars
 
 
 def _writer(log_dir):
-    try:
-        from tensorboardX import SummaryWriter
-        return SummaryWriter(log_dir)
-    except Exception:  # pragma: no cover - TB optional
-        class _Null:
-            def add_scalar(self, *a, **k):
-                pass
-        return _Null()
+    if log_dir is not None:
+        try:
+            from tensorboardX import SummaryWriter
+            return SummaryWriter(log_dir)
+        except Exception:  # pragma: no cover - TB optional
+            pass
+
+    class _Null:
+        def add_scalar(self, *a, **k):
+            pass
+    return _Null()
 
 
 def save_depth_png(depth, path, vmax=3.0):
@@ -71,6 +74,14 @@ class Runner:
         self.mode = args.mode
         self.conf = ConfigFactory.parse_file(args.conf)
         self.args = args
+
+        # multi-host rendezvous BEFORE any jax device use (reference:
+        # init_distributed_mode, utils/distribute.py:66-89).  Single-process
+        # runs are a no-op; multi-process runs make jax.devices() span the
+        # whole slice so the mesh DP path shards scenes across all hosts.
+        from .parallel.distribute import maybe_initialize, is_main_process
+        self.multihost = maybe_initialize(self.conf)
+        self.is_main = is_main_process() if self.multihost else True
 
         self.epochs = self.conf.get_int("train.epochs")
         self.base_exp_dir = self.conf["general.base_exp_dir"]
@@ -96,9 +107,13 @@ class Runner:
         self.loss_cfg = make_loss_config(self.conf["train.loss"])
         self.val_chunk = self.conf.get_int("train.val_ray_chunk", default=4096)
 
-        self.writer = _writer(os.path.join(self.base_exp_dir, "logs"))
+        # rank-0-only side effects (reference: runner.py:58-60,122 — writer,
+        # code backup and checkpoints live on the main process)
+        self.writer = _writer(os.path.join(self.base_exp_dir, "logs")) \
+            if self.is_main else _writer(None)
         self.key = setup_seed(getattr(args, "seed", 0))
-        self.codes_backup()
+        if self.is_main:
+            self.codes_backup()
 
         # debugging toggles (SURVEY.md §5: the TPU-native replacement for
         # sanitizers — JAX is functional, so NaN checking is a jit flag)
@@ -312,6 +327,8 @@ class Runner:
                 self.validate(epoch)
 
     def save(self, epoch):
+        if not self.is_main:  # rank-0-only saves (reference runner.py:122)
+            return
         ckpt_dir = os.path.join(self.base_exp_dir, "checkpoints")
         os.makedirs(ckpt_dir, exist_ok=True)
         tree = {

@@ -51,3 +51,26 @@ def test_dp_train_step_4_devices():
         lambda a, b: a + float(np.abs(b).sum()),
         jax.tree.map(lambda a, b: np.asarray(a) - b, new_params, before), 0.0)
     assert delta > 0
+
+
+def test_distribute_single_process_noop():
+    """Single-process runs must not call jax.distributed.initialize
+    (reference: the 'Not using distributed mode' branch,
+    utils/distribute.py:76-79)."""
+    from surf_tpu.parallel.distribute import detect_multiprocess_env, maybe_initialize
+    assert detect_multiprocess_env({}) is None
+    assert detect_multiprocess_env({"SLURM_NTASKS": "1"}) is None
+    assert maybe_initialize(None, environ={}) is False
+
+
+def test_distribute_env_detection():
+    from surf_tpu.parallel.distribute import detect_multiprocess_env
+    kw = detect_multiprocess_env({
+        "JAX_COORDINATOR_ADDRESS": "10.0.0.1:1234",
+        "JAX_NUM_PROCESSES": "4",
+        "JAX_PROCESS_ID": "2",
+    })
+    assert kw == {"coordinator_address": "10.0.0.1:1234",
+                  "num_processes": 4, "process_id": 2}
+    # SLURM rendezvous: jax reads SLURM_* itself -> empty kwargs
+    assert detect_multiprocess_env({"SLURM_NTASKS": "8"}) == {}
