@@ -25,25 +25,10 @@ import numpy as np
 REFERENCE_RAYS_PER_SEC_ESTIMATE = 1700.0
 
 
-def main():
-    # persistent compilation cache: repeated bench runs skip the big compiles
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                          os.path.join(os.path.dirname(__file__), ".jax_cache"))
-    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-    import jax
-    import jax.numpy as jnp
-
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+def protocol_conf(n_rays, base_dim, n_stages, img_hw, match_dtype="bfloat16"):
+    """The full reference protocol as a surf_tpu config (confs/surf.conf
+    semantics: 4-stage cascade 88^3 -> 704^3, 136 samples/ray)."""
     from surf_tpu.config import ConfigFactory
-    from surf_tpu.data.synthetic import SyntheticDataset
-    from surf_tpu.nn import surf, feature_net, implicit_surface
-
-    n_rays = int(os.environ.get("BENCH_RAYS", 4096))
-    # defaults = the FULL reference protocol: 4-stage cascade 88^3 -> 704^3,
-    # 136 samples/ray (64+32+24+16), bf16 density volumes
-    base_dim = int(os.environ.get("BENCH_BASE_DIM", 88))
-    n_stages = int(os.environ.get("BENCH_STAGES", 4))
-    img_hw = (288, 400)
 
     ratios = [1.0, 0.4, 0.1, 0.01][:n_stages]
     n_samples = [64, 32, 24, 16][:n_stages]
@@ -54,7 +39,7 @@ def main():
     ones8 = ", ".join(["8"] * n_stages)
     feat_ch = 7 * n_stages
 
-    conf = ConfigFactory.parse_string(f"""
+    return ConfigFactory.parse_string(f"""
     ds {{
         num_src_view = 2
         img_hw = [{img_hw[0]}, {img_hw[1]}]
@@ -68,7 +53,7 @@ def main():
         volume {{
             base_volume_dim = [{base_dim}, {base_dim}, {base_dim}]
             stage_parent_capacity = [{(base_dim // 2) ** 3}, {min((base_dim // 2) ** 3, 131072)}, 262144, 393216]
-            matching_dtype = {os.environ.get("BENCH_MATCH_DTYPE", "bfloat16")}
+            matching_dtype = {match_dtype}
         }}
         reg_network {{ d_in = [{d_in_reg}]  d_base = [{ones8}]  d_out = [{ones8}] }}
         matching_field {{
@@ -95,6 +80,32 @@ def main():
         }}
     }}
     """)
+
+
+def main():
+    # persistent compilation cache: repeated bench runs skip the big compiles
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    from surf_tpu.data.synthetic import SyntheticDataset
+    from surf_tpu.nn import surf, feature_net, implicit_surface
+
+    n_rays = int(os.environ.get("BENCH_RAYS", 4096))
+    # defaults = the FULL reference protocol: 4-stage cascade 88^3 -> 704^3,
+    # 136 samples/ray (64+32+24+16), bf16 density volumes
+    base_dim = int(os.environ.get("BENCH_BASE_DIM", 88))
+    n_stages = int(os.environ.get("BENCH_STAGES", 4))
+    # the reference's TEST image size (README.md:87-106: tested 576x800)
+    img_hw = tuple(int(x) for x in
+                   os.environ.get("BENCH_IMG", "576x800").split("x"))
+    n_samples = [64, 32, 24, 16][:n_stages]
+
+    conf = protocol_conf(n_rays, base_dim, n_stages, img_hw,
+                         os.environ.get("BENCH_MATCH_DTYPE", "bfloat16"))
 
     ds = SyntheticDataset(conf["ds"], "train")
     batch_np = ds[0]
@@ -159,17 +170,48 @@ def main():
     dt = time.time() - t0
     rays_per_sec = n_rays * iters / dt
 
+    # sec/scene mesh extraction (BASELINE.md tracked metric): 512^3 SDF
+    # lattice with exact block skipping -> host marching cubes
+    mesh_s = None
+    if os.environ.get("BENCH_MESH", "1") != "0":
+        from surf_tpu.geometry import extract_geometry
+        from surf_tpu.nn import sdf_net
+        is_static = static["implicit_surface"]
+
+        @jax.jit
+        def sdf_chunk(p, stages, pts):
+            grids = [g for g, _ in stages]
+            m = implicit_surface.occupancy_mask(grids, pts)
+            s = sdf_net.sdf_only(p["implicit_surface"]["sdf_network"],
+                                 is_static["sdf"], pts, stages)
+            return jnp.where(m[:, None], s, 100.0)[:, 0]
+
+        mesh_res = int(os.environ.get("BENCH_MESH_RES", 512))
+        # warm the block compile outside the timed region
+        extract_geometry(sdf_chunk, params, stages_ff, 128, block=64)
+        t0 = time.time()
+        verts, tris, _ = extract_geometry(sdf_chunk, params, stages_ff,
+                                          mesh_res, block=64)
+        mesh_s = time.time() - t0
+
     result = {
         "metric": "render_rays_per_sec_per_chip",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC_ESTIMATE, 2),
+        "build_s": round(build_time, 1),
     }
+    if mesh_s is not None:
+        result["mesh_extract_s"] = round(mesh_s, 1)
     print(json.dumps(result))
     print(f"# device={jax.devices()[0].device_kind} stages={n_stages} "
-          f"base_dim={base_dim} rays={n_rays} samples/ray={sum(n_samples)} "
-          f"build={build_time:.1f}s compile={compile_time:.1f}s "
-          f"steady={dt / iters * 1000:.1f}ms/iter", file=sys.stderr)
+          f"base_dim={base_dim} img={img_hw[0]}x{img_hw[1]} rays={n_rays} "
+          f"samples/ray={sum(n_samples)} build={build_time:.1f}s "
+          f"compile={compile_time:.1f}s "
+          f"steady={dt / iters * 1000:.1f}ms/iter "
+          f"mesh={mesh_s if mesh_s is None else round(mesh_s, 1)}s "
+          f"(mesh verts={0 if mesh_s is None else len(verts)})",
+          file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -51,6 +51,10 @@ def init(key, conf):
         # disable for bit-exact parity with the reference's per-level
         # sampling when validating converted checkpoints)
         "fused_pyramid": conf.get_bool("render.fused_pyramid", default=True),
+        # point-chunk size for the fused SDF value+gradients pass (bounds
+        # the batch AD residuals; see sdf_net.value_features_grads)
+        "sdf_point_chunk": conf.get_int("render.sdf_point_chunk",
+                                        default=131072),
     }
     return params, static
 
@@ -160,7 +164,8 @@ def render_core(key, params, static, rays_o, rays_d, z_vals, sample_dist,
     # SDF + features + first/second-order gradients everywhere in one
     # fused jvp-over-grad pass, pinned outside the active set
     sdf_out, grads_all, smooth_all = sdf_net.value_features_grads(
-        sdf_p, sdf_s, pts, stages)
+        sdf_p, sdf_s, pts, stages,
+        chunk=static.get("sdf_point_chunk", None))
     sdf = jnp.where(vmask[:, None], sdf_out[:, :1], 100.0)
     feature_vec = sdf_out[:, 1:] * vmask_f[:, None]
     gradients = grads_all * vmask_f[:, None]

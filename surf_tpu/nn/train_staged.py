@@ -1,0 +1,265 @@
+"""Full-protocol training via host-orchestrated per-stage VJPs.
+
+The reference trains the whole 4-stage cascade + renderer + losses under one
+torch autograd graph (runner.py:115-196).  A single monolithic XLA graph of
+the same program at the full 88^3->704^3 protocol overwhelms the compiler
+(round-1 finding), so this module decomposes the train step the same way
+validation decomposes the forward: one jitted graph per cascade stage, plus
+a render+loss head and the feature extractor — and stitches the BACKWARD
+across the stage boundaries by hand.
+
+Decomposition (all pieces individually jitted, compiled once per process):
+
+    features        = feat(fn_params, imgs)
+    carry_{s+1}, out_s, reg_s = stage_s(params, ipts, features, carry_s)
+    loss            = head(is_params, storages, depth_outs, features, ...)
+
+Gradient stitching (exact chain rule — equivalent to monolithic autodiff up
+to float reassociation):
+
+    head  -> d(is_params), d(storage_s), d(depth_outs_s), d(features)
+    stage_s (reverse order, recomputing its forward inside the bwd graph =
+    stage-granular rematerialization)
+          -> d(params), d(carry diff parts of stage s-1), d(features)
+    feat  -> d(fn_params) from the accumulated feature cotangent
+
+The carry's differentiable leaves are (mid, depths, matching_volume); the
+VoxelGrid structure is integer/bool and flows outside the VJPs.  Cotangents
+for a stage's outputs come from two places — the head (storage / depth /
+occ_reg) and the next stage's carry cotangent — and are combined by passing
+both into one jax.vjp call per stage.
+
+Reference semantics preserved: loss terms per models/losses/loss.py:32-77,
+stage flow per models/surf.py:80-131.
+"""
+
+from __future__ import annotations
+
+import functools
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from . import feature_net, implicit_surface, surf
+from ..losses import compute_loss
+
+
+def _zeros_like_tree(tree):
+    return jax.tree.map(jnp.zeros_like, tree)
+
+
+def _tree_add(a, b):
+    return jax.tree.map(jnp.add, a, b)
+
+
+# ---------------------------------------------------------------------------
+# jitted pieces (cached per frozen static / stage index)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=8)
+def _feat_fns():
+    @jax.jit
+    def fwd(fn_params, imgs):
+        return feature_net.apply(fn_params, imgs)
+
+    @jax.jit
+    def bwd(fn_params, imgs, cot_features):
+        _, vjp = jax.vjp(lambda p: feature_net.apply(p, imgs), fn_params)
+        return vjp(list(cot_features))[0]
+
+    return fwd, bwd
+
+
+@functools.lru_cache(maxsize=64)
+def _stage_fns(frozen_static, s, perturb):
+    static = surf._thaw(frozen_static)
+
+    def run(params, reg_state_s, ipts, features, key_s, carry):
+        return surf._stage_step(params, reg_state_s, static, ipts, features,
+                                key_s, carry, s=s, perturb=perturb,
+                                training=True)
+
+    @jax.jit
+    def fwd(params, reg_state_s, ipts, features, key_s, grid_in, rest_in):
+        carry = (grid_in, *(rest_in or (None, None, None)))
+        (grid, mid, depths, mv), stage_out, reg_s = run(
+            params, reg_state_s, ipts, features, key_s, carry)
+        return grid, (mid, depths, mv), stage_out, reg_s
+
+    @jax.jit
+    def bwd(params, reg_state_s, ipts, features, key_s, grid_in, rest_in,
+            cot_rest_out, cot_stage_out):
+        """Recompute stage s and pull (cot_rest_out, cot_stage_out) back to
+        (d params, d rest_in, d features).  rest_in of stage 0 is all-None
+        (no differentiable carry)."""
+        has_carry = rest_in is not None and rest_in[0] is not None
+
+        if has_carry:
+            def f(p, feats, rest):
+                carry = (grid_in, *rest)
+                (g, mid, depths, mv), stage_out, _ = run(
+                    p, reg_state_s, ipts, feats, key_s, carry)
+                return (mid, depths, mv), stage_out
+
+            _, vjp = jax.vjp(f, params, features, rest_in)
+            g_params, g_feats, g_rest = vjp((cot_rest_out, cot_stage_out))
+        else:
+            def f0(p, feats):
+                carry = (grid_in, None, None, None)
+                (g, mid, depths, mv), stage_out, _ = run(
+                    p, reg_state_s, ipts, feats, key_s, carry)
+                return (mid, depths, mv), stage_out
+
+            _, vjp = jax.vjp(f0, params, features)
+            g_params, g_feats = vjp((cot_rest_out, cot_stage_out))
+            g_rest = None
+        return g_params, g_feats, g_rest
+
+    return fwd, bwd
+
+
+@functools.lru_cache(maxsize=8)
+def _head_fns(frozen_static, frozen_loss_cfg):
+    static = surf._thaw(frozen_static)
+    loss_cfg = surf._thaw(frozen_loss_cfg)
+    num_stage = static["num_stage"]
+
+    def head(p_is, storages, depth_outs, features, grids, matching_volume,
+             match_features, ipts, key_render, step_f, anneal):
+        """storages / grids coarse-first (stage order)."""
+        stages_ff = list(zip(grids, storages))[::-1]
+        fine_first = list(features)[::-1]
+        match_ff = [jax.lax.stop_gradient(f) for f in match_features][::-1]
+
+        outputs = dict(depth_outs)
+        render_out = implicit_surface.render(
+            key_render, p_is, static["implicit_surface"],
+            ipts["rays_o"], ipts["rays_d"], ipts["near"], ipts["far"],
+            matching_volume, stages_ff, fine_first, match_ff,
+            ipts["imgs"], ipts["intrs"], ipts["c2ws"], anneal, step_f)
+        outputs.update(render_out)
+        if "pseudo_pts" in ipts:
+            outputs["pseudo_sdf"] = implicit_surface.pseudo_sdf(
+                p_is, static["implicit_surface"], ipts["pseudo_pts"],
+                stages_ff)
+        res = compute_loss(loss_cfg, outputs, ipts, step_f, "train")
+        res["psnr"] = 20.0 * jnp.log10(1.0 / jnp.sqrt(jnp.mean(
+            (outputs["color_fine"] - ipts["color"]) ** 2) + 1e-12))
+        return res["loss"], res
+
+    @jax.jit
+    def fwd_bwd(p_is, storages, depth_outs, features, grids, matching_volume,
+                match_features, ipts, key_render, step_f, anneal):
+        grad_fn = jax.value_and_grad(head, argnums=(0, 1, 2, 3), has_aux=True)
+        (loss, res), (g_is, g_storages, g_depth_outs, g_feats) = grad_fn(
+            p_is, storages, depth_outs, features, grids, matching_volume,
+            match_features, ipts, key_render, step_f, anneal)
+        return loss, res, g_is, g_storages, g_depth_outs, g_feats
+
+    return fwd_bwd
+
+
+# ---------------------------------------------------------------------------
+# orchestrator
+# ---------------------------------------------------------------------------
+
+def value_and_grad_staged(params, state, static, loss_cfg, batch, key,
+                          step_f, anneal, *, perturb=True):
+    """Full train-step value+grad with per-stage graphs.
+
+    Returns (res, grads, new_state) — the same quantities the monolithic
+    ``jax.value_and_grad`` path produces, computed without ever building the
+    whole cascade into one XLA graph.
+    """
+    num_stage = static["num_stage"]
+    frozen_static = surf._freeze(static)
+    frozen_loss = surf._freeze(loss_cfg)
+
+    k_build, k_render = jax.random.split(key)
+    keys = jax.random.split(k_build, num_stage)
+
+    feat_fwd, feat_bwd = _feat_fns()
+    features = feat_fwd(params["feature_network"], batch["imgs"])
+    match_features = feat_fwd(state["match_feature_network"], batch["imgs"])
+
+    # ---- forward through the cascade, saving stage inputs ----
+    grids_in, rests_in = [], []
+    grid, rest = None, None
+    stage_outs, grids, new_reg_state = [], [], []
+    for s in range(num_stage):
+        fwd, _ = _stage_fns(frozen_static, s, perturb)
+        grids_in.append(grid)
+        rests_in.append(rest)
+        grid, rest, stage_out, reg_s = fwd(
+            params, state["reg_network"][s], batch, features, keys[s],
+            grid, rest)
+        grids.append(grid)
+        stage_outs.append(stage_out)
+        new_reg_state.append(reg_s)
+    matching_volume = rest[2]
+
+    # ---- render + loss head ----
+    head = _head_fns(frozen_static, frozen_loss)
+    storages = [so["storage"] for so in stage_outs]
+    depth_outs = {}
+    for s in range(num_stage):
+        depth_outs[f"depth_stage{s}"] = stage_outs[s]["depth"]
+        depth_outs[f"depth_src_stage{s}"] = stage_outs[s]["depth_src"]
+        depth_outs[f"occ_reg_stage{s}"] = stage_outs[s]["occ_reg"]
+
+    loss, res, g_is, g_storages, g_depth_outs, g_feats = head(
+        params["implicit_surface"], storages, depth_outs, features, grids,
+        matching_volume, match_features, batch, k_render,
+        jnp.float32(step_f), jnp.float32(anneal))
+
+    # ---- backward through the cascade ----
+    grads = _zeros_like_tree(params)
+    grads["implicit_surface"] = g_is
+    cot_features = list(g_feats)
+    # final carry (mid, depths, matching_volume) is consumed by nothing
+    # differentiable downstream (z-val surface localization stops gradients)
+    cot_rest = _zeros_like_tree(rest)
+
+    for s in reversed(range(num_stage)):
+        _, bwd = _stage_fns(frozen_static, s, perturb)
+        cot_stage_out = {
+            "storage": g_storages[s],
+            "depth": g_depth_outs[f"depth_stage{s}"],
+            "depth_src": g_depth_outs[f"depth_src_stage{s}"],
+            "occ_reg": g_depth_outs[f"occ_reg_stage{s}"],
+        }
+        g_params_s, g_feats_s, cot_rest = bwd(
+            params, state["reg_network"][s], batch, features, keys[s],
+            grids_in[s], rests_in[s], cot_rest, cot_stage_out)
+        grads = _tree_add(grads, g_params_s)
+        cot_features = [a + b for a, b in zip(cot_features, g_feats_s)]
+
+    grads["feature_network"] = _tree_add(
+        grads["feature_network"],
+        feat_bwd(params["feature_network"], batch["imgs"],
+                 tuple(cot_features)))
+
+    new_state = {"reg_network": new_reg_state,
+                 "match_feature_network": state["match_feature_network"]}
+    return res, grads, new_state
+
+
+def make_staged_train_step(optimizer, static, loss_cfg):
+    """Train step mirroring runner._train_step_fn's contract but with the
+    staged value+grad and a separately-jitted optimizer update."""
+
+    import optax
+
+    @jax.jit
+    def opt_step(params, grads, opt_state):
+        updates, new_opt = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_opt
+
+    def step(params, state, opt_state, batch, key, step_f, anneal):
+        res, grads, new_state = value_and_grad_staged(
+            params, state, static, loss_cfg, batch, key, step_f, anneal)
+        new_params, new_opt = opt_step(params, grads, opt_state)
+        return new_params, new_state, new_opt, res
+
+    return step

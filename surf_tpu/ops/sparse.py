@@ -127,6 +127,16 @@ def sparse_trilinear(grid: VoxelGrid, storage, pts):
     (align_corners=True convention), absent corner voxels contribute zero.
     Arbitrarily differentiable w.r.t. both ``storage`` and ``pts``.
 
+    The 8 corners are UNROLLED rather than stacked on a trailing axis:
+    stacked (n, 8, C) intermediates force TPU layouts with the 8/C axes on
+    the 128-lane dimension (16x memory padding, and the second-order AD of
+    the render materializes multi-GB [C, n, 8] temporaries); unrolled, every
+    intermediate is (n, C) or (n,) and lays out compactly.
+
+    NB: the reference clamps corner indices *before* the sparse lookup
+    (projector.py:287-318), so out-of-range taps read the border voxel
+    instead of zero; reproduced for weight compatibility.
+
     pts: (..., 3) -> (..., C)
     """
     res = grid.res
@@ -134,18 +144,20 @@ def sparse_trilinear(grid: VoxelGrid, storage, pts):
     c0 = jnp.floor(coords)
     frac = coords - c0
     c0i = c0.astype(jnp.int32)
+    fx, fy, fz = frac[..., 0], frac[..., 1], frac[..., 2]
+    gx, gy, gz = 1.0 - fx, 1.0 - fy, 1.0 - fz
 
-    # all 8 corners in one stacked lookup (keeps the lowered graph small).
-    # NB: the reference clamps corner indices *before* the sparse lookup
-    # (projector.py:287-318), so out-of-range taps read the border voxel
-    # instead of zero; reproduced for weight compatibility.
-    corners = jnp.clip(c0i[..., None, :] + CHILD_OFFSETS, 0, res - 1)  # (...,8,3)
-    rows, valid = lookup_rows(grid, corners)
-    vals = gather_feats(storage, rows, valid)                          # (...,8,C)
-    offs = CHILD_OFFSETS.astype(coords.dtype)
-    w = jnp.prod(jnp.where(offs > 0, frac[..., None, :], 1.0 - frac[..., None, :]),
-                 axis=-1)
-    return jnp.sum(vals * w[..., None], axis=-2)
+    out = None
+    for k in range(8):
+        ox, oy, oz = (k >> 2) & 1, (k >> 1) & 1, k & 1
+        off = jnp.array([ox, oy, oz], dtype=jnp.int32)
+        corner = jnp.clip(c0i + off, 0, res - 1)
+        rows, valid = lookup_rows(grid, corner)
+        vals = gather_feats(storage, rows, valid)          # (..., C)
+        w = (fx if ox else gx) * (fy if oy else gy) * (fz if oz else gz)
+        term = vals * w[..., None]
+        out = term if out is None else out + term
+    return out
 
 
 def occupancy_nearest(grid: VoxelGrid, pts, *, align_corners=False):
@@ -209,6 +221,41 @@ def compact_parents(scores, pvalid, capacity: int):
         sel_idx = jnp.concatenate([sel_idx, jnp.zeros(pad, sel_idx.dtype)])
         sel_valid = jnp.concatenate([sel_valid, jnp.zeros(pad, bool)])
     return sel_idx.astype(jnp.int32), sel_valid
+
+
+def occupied_blocks_host(stages, grid_res: int, block: int):
+    """Host-side map of which ``block``^3 tiles of a ``grid_res``^3 sample
+    lattice over [-1,1]^3 can contain active voxels.
+
+    ``occupancy_nearest`` (align_corners=False) maps sample point p to voxel
+    v iff p ∈ [2v/res - 1, (2v+2)/res - 1); in lattice-index units
+    (i = (p+1)(R-1)/2) voxel v covers i ∈ [v(R-1)/res, (v+1)(R-1)/res].
+    A tile no active voxel covers evaluates to the pinned empty-space SDF
+    (+100) for every point, so mesh extraction can skip it exactly.
+
+    stages: list of (VoxelGrid, storage).  Returns (nb, nb, nb) bool.
+    """
+    import numpy as np
+    R, B = int(grid_res), int(block)
+    nb = -(-R // B)
+    occ = np.zeros((nb, nb, nb), dtype=bool)
+    for grid, _ in stages:
+        res = grid.res
+        cc = np.asarray(grid.child_coords())
+        cv = np.asarray(grid.cvalid)
+        cc = cc[cv]
+        if cc.size == 0:
+            continue
+        lo = np.clip((cc.astype(np.int64) * (R - 1)) // res // B, 0, nb - 1)
+        hi = np.clip(((cc.astype(np.int64) + 1) * (R - 1)) // res // B,
+                     0, nb - 1)
+        for dx in (0, 1):
+            for dy in (0, 1):
+                for dz in (0, 1):
+                    occ[(hi if dx else lo)[:, 0],
+                        (hi if dy else lo)[:, 1],
+                        (hi if dz else lo)[:, 2]] = True
+    return occ
 
 
 def voxel_centers_world(coords, res: int):

@@ -392,29 +392,12 @@ class Runner:
             self._jit_cache["render_chunk"] = render_chunk
         return self._jit_cache["render_chunk"]
 
-    def extract_geometry(self, params, stages, resolution, chunk=128 ** 3 // 16):
-        """Chunked SDF grid eval on device -> host marching cubes
-        (implicit_surface.py:337-357; the reference extracts -sdf at 0)."""
-        sdf_fn = self._sdf_grid_jit()
-        lin = np.linspace(-1, 1, resolution, dtype=np.float32)
-        u = np.zeros((resolution ** 2 * resolution,), np.float32)
-        # build flat chunk of points on host, eval on device
-        total = resolution ** 3
-        chunk_n = int(chunk)
-        xs, ys, zs = np.meshgrid(lin, lin, lin, indexing="ij")
-        pts_all = np.stack([xs.reshape(-1), ys.reshape(-1), zs.reshape(-1)], -1)
-        for s in range(0, total, chunk_n):
-            pts = pts_all[s:s + chunk_n]
-            pad = chunk_n - len(pts)
-            if pad:
-                pts = np.concatenate([pts, np.zeros((pad, 3), np.float32)])
-            vals = np.asarray(sdf_fn(params, stages, jnp.asarray(pts)))
-            u[s:s + chunk_n - pad if pad else s + chunk_n] = \
-                vals[: chunk_n - pad] if pad else vals
-        u = u.reshape(resolution, resolution, resolution)
-        verts, tris = marching_cubes(-u, 0.0)
-        verts = verts / (resolution - 1.0) * 2.0 - 1.0
-        return verts, tris, u
+    def extract_geometry(self, params, stages, resolution, block=64):
+        """Block-skipped SDF grid eval on device -> host marching cubes
+        (implicit_surface.py:337-357; see geometry/extract.py)."""
+        from .geometry import extract_geometry
+        return extract_geometry(self._sdf_grid_jit(), params, stages,
+                                resolution, block=block)
 
     def render_full_image(self, params, key, ipts, stages, matching_volume,
                           features, match_features):

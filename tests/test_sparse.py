@@ -126,3 +126,35 @@ def test_compact_parents():
     # under-full: capacity > n valid
     idx2, valid2 = sp.compact_parents(scores, pvalid, 5)
     assert np.asarray(valid2).sum() == 4
+
+
+def test_occupied_blocks_covers_all_occupancy():
+    """Mesh-extraction block skipping must be exact: any lattice point with
+    occupancy_nearest True (in ANY stage) lies in an occupied block."""
+    grid_a, sa = random_grid(res=16, p_keep=0.2)
+    grid_b, sb = random_grid(res=32, p_keep=0.1)
+    stages = [(grid_a, sa), (grid_b, sb)]
+    R, B = 48, 16
+    occ_blocks = sp.occupied_blocks_host(stages, R, B)
+
+    lin = np.linspace(-1, 1, R, dtype=np.float32)
+    xs, ys, zs = np.meshgrid(lin, lin, lin, indexing="ij")
+    pts = jnp.asarray(np.stack([xs.ravel(), ys.ravel(), zs.ravel()], -1))
+    m = np.zeros(R ** 3, bool)
+    for g, _ in stages:
+        m |= np.asarray(sp.occupancy_nearest(g, pts, align_corners=False))
+    m = m.reshape(R, R, R)
+
+    idx = np.arange(R) // B
+    covered = occ_blocks[np.ix_(idx, idx, idx)]
+    assert not (m & ~covered).any(), "occupied point in a skipped block"
+
+    # clustered voxels (one octant) must leave far blocks skipped
+    half = 8
+    parents = np.stack(np.meshgrid(*([np.arange(2)] * 3), indexing="ij"),
+                       -1).reshape(-1, 3).astype(np.int32)
+    g = sp.make_grid(jnp.asarray(parents), jnp.ones(8, bool),
+                     jnp.ones(64, bool), half * 2)
+    occ2 = sp.occupied_blocks_host([(g, None)], R, B)
+    assert occ2[0, 0, 0]
+    assert not occ2[2, 2, 2]

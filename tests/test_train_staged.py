@@ -1,0 +1,93 @@
+"""Staged (per-stage-VJP) training must match monolithic autodiff.
+
+The full-protocol train step cannot compile as one XLA graph (round-1
+finding); nn/train_staged.py stitches per-stage VJPs by hand.  These tests
+pin the stitching to the monolithic jax.value_and_grad result on the tiny
+2-stage config, where both paths compile.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from surf_tpu.data.synthetic import SyntheticDataset
+from surf_tpu.losses import compute_loss, make_loss_config
+from surf_tpu.nn import surf, train_staged
+from surf_tpu.utils import to_device
+
+from tiny_conf import tiny_conf
+
+
+@pytest.fixture(scope="module")
+def setup():
+    conf = tiny_conf()
+    conf["train_dataset"]["n_rays"] = 64
+    ds = SyntheticDataset(conf["train_dataset"], "train")
+    batch = to_device(ds[0])
+    params, state, static = surf.init(jax.random.PRNGKey(0), conf["model"])
+    loss_cfg = make_loss_config(conf["train.loss"])
+    return params, state, static, loss_cfg, batch
+
+
+def _monolithic(params, state, static, loss_cfg, batch, key, step_f, anneal):
+    def loss_fn(p):
+        outputs, new_state = surf.forward(
+            key, p, state, static, "train", batch,
+            cos_anneal_ratio=anneal, step=step_f)
+        res = compute_loss(loss_cfg, outputs, batch, step_f, "train")
+        res["psnr"] = 20.0 * jnp.log10(1.0 / jnp.sqrt(jnp.mean(
+            (outputs["color_fine"] - batch["color"]) ** 2) + 1e-12))
+        return res["loss"], (res, new_state)
+
+    (loss, (res, new_state)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(params)
+    return res, grads, new_state
+
+
+def test_staged_matches_monolithic(setup):
+    params, state, static, loss_cfg, batch = setup
+    key = jax.random.PRNGKey(7)
+    step_f, anneal = 1.0, 0.5
+
+    # disable monolithic stage remat so both sides share the plain graph
+    static_plain = dict(static)
+    static_plain["remat_stages"] = False
+    res_m, grads_m, _ = jax.jit(
+        lambda p, s, b, k: _monolithic(p, s, static_plain, loss_cfg, b, k,
+                                       step_f, anneal)
+    )(params, state, batch, key)
+
+    res_s, grads_s, new_state_s = train_staged.value_and_grad_staged(
+        params, state, static, loss_cfg, batch, key, step_f, anneal,
+        perturb=True)
+
+    assert np.allclose(float(res_m["loss"]), float(res_s["loss"]),
+                       rtol=1e-4), (res_m["loss"], res_s["loss"])
+    assert np.allclose(float(res_m["psnr"]), float(res_s["psnr"]), rtol=1e-4)
+
+    flat_m = jax.tree_util.tree_leaves_with_path(grads_m)
+    flat_s, _ = jax.tree_util.tree_flatten(grads_s)
+    assert len(flat_m) == len(flat_s)
+    for (path, gm), gs in zip(flat_m, flat_s):
+        gm, gs = np.asarray(gm), np.asarray(gs)
+        assert gm.shape == gs.shape, path
+        scale = max(np.abs(gm).max(), np.abs(gs).max(), 1e-8)
+        err = np.abs(gm - gs).max() / scale
+        assert err < 5e-4, (jax.tree_util.keystr(path), err)
+
+
+def test_staged_train_step_updates(setup):
+    import optax
+    params, state, static, loss_cfg, batch = setup
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+    step = train_staged.make_staged_train_step(optimizer, static, loss_cfg)
+    new_params, new_state, new_opt, res = step(
+        params, state, opt_state, batch, jax.random.PRNGKey(3), 0.0, 1.0)
+    assert np.isfinite(float(res["loss"]))
+    delta = jax.tree_util.tree_reduce(
+        lambda a, b: a + float(np.abs(b).sum()),
+        jax.tree.map(lambda a, b: np.asarray(a) - np.asarray(b),
+                     new_params, params), 0.0)
+    assert delta > 0
