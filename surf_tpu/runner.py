@@ -229,6 +229,16 @@ class Runner:
         static = self.static
         loss_cfg = self.loss_cfg
 
+        # staged per-stage-VJP training (nn/train_staged.py): required at
+        # the full 88^3->704^3 protocol where a monolithic train graph
+        # overwhelms the compiler; off by default at test scales
+        if self.conf.get_bool("train.staged_train", default=False):
+            from .nn import train_staged
+            step = train_staged.make_staged_train_step(
+                optimizer, static, loss_cfg)
+            self._jit_cache["train_step"] = step
+            return step
+
         @jax.jit
         def train_step(params, state, opt_state, batch, key, step_f, anneal):
             def loss_fn(p):
@@ -257,6 +267,13 @@ class Runner:
         from .parallel import make_mesh, make_dp_train_step
         n_dev = jax.device_count()
         if n_dev <= 1 or not self.conf.get_bool("train.data_parallel", default=True):
+            return None
+        if self.conf.get_bool("train.staged_train", default=False):
+            # staged training orchestrates per-stage graphs on the host; the
+            # scene-vmapped DP step cannot wrap a host loop.  Multi-chip at
+            # full protocol = shard rays/voxels inside each stage graph
+            # (future work); scenes-DP falls back to the monolithic step.
+            print("staged_train: disabling scene-DP (host-orchestrated stages)")
             return None
         mesh = make_mesh()
         step, sharded, replicated = make_dp_train_step(
