@@ -129,6 +129,13 @@ def main():
     jax.block_until_ready(matching_volume)
     build_time = time.time() - t0
 
+    if os.environ.get("BENCH_DENSE_STORAGE", "1") != "0":
+        # render-path lookup acceleration: the two-level sparse lookup costs
+        # 2 dependent gathers per corner; direct-indexed bf16 volumes halve
+        # the gather count (ops/sparse.DenseStorage)
+        from surf_tpu.ops import sparse as sp_ops
+        stages = [(g, sp_ops.densify_storage(g, s)) for g, s in stages]
+        jax.block_until_ready(stages[-1][1].vol)
     stages_ff = stages[::-1]
     feats_ff = [f for f in features][::-1]
     warp_feats = jax.jit(implicit_surface.prepare_patch_features)(

@@ -115,24 +115,33 @@ def trilinear_sample_3d(volume, coords, *, normalized=True, align_corners=True):
         y = _unnormalize(y, Y, align_corners)
         z = _unnormalize(z, Z, align_corners)
 
-    c0 = jnp.floor(jnp.stack([x, y, z], axis=-1))
-    frac = jnp.stack([x, y, z], axis=-1) - c0
-    c0i = c0.astype(jnp.int32)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    z0 = jnp.floor(z)
+    fx, fy, fz = x - x0, y - y0, z - z0
+    gx, gy, gz = 1.0 - fx, 1.0 - fy, 1.0 - fz
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    z0i = z0.astype(jnp.int32)
 
-    # all 8 corners in one stacked gather (keeps the lowered graph small)
-    corners = c0i[..., None, :] + _CORNER_OFFSETS          # (..., 8, 3)
-    dims = jnp.array([X, Y, Z], jnp.int32)
-    valid = jnp.all((corners >= 0) & (corners < dims), axis=-1)
-    cc = jnp.clip(corners, 0, dims - 1)
-    idx = (cc[..., 0] * Y + cc[..., 1]) * Z + cc[..., 2]   # (..., 8)
-    vals = volume.reshape(X * Y * Z, C)[idx.reshape(-1)]
-    vals = vals.reshape(*idx.shape, C)                      # (..., 8, C)
-    # weight per corner: prod over axes of (frac if offset else 1-frac)
-    offs = _CORNER_OFFSETS.astype(volume.dtype)             # (8, 3)
-    w = jnp.prod(jnp.where(offs > 0, frac[..., None, :], 1.0 - frac[..., None, :]),
-                 axis=-1)                                   # (..., 8)
-    w = w * valid.astype(volume.dtype)
-    return jnp.sum(vals * w[..., None], axis=-2)
+    flat = volume.reshape(X * Y * Z, C)
+    # corners UNROLLED: stacked (..., 8, C) intermediates force the 8/C axes
+    # onto the 128-lane dim (16x padding and multi-GB AD temporaries); per-
+    # corner (..., C)/(...,) arrays lay out compactly
+    out = None
+    for k in range(8):
+        ox, oy, oz = (k >> 2) & 1, (k >> 1) & 1, k & 1
+        cx, cy, cz = x0i + ox, y0i + oy, z0i + oz
+        valid = (cx >= 0) & (cx < X) & (cy >= 0) & (cy < Y) & \
+                (cz >= 0) & (cz < Z)
+        idx = (jnp.clip(cx, 0, X - 1) * Y + jnp.clip(cy, 0, Y - 1)) * Z + \
+            jnp.clip(cz, 0, Z - 1)
+        vals = flat[idx.reshape(-1)].reshape(*idx.shape, C)
+        w = (fx if ox else gx) * (fy if oy else gy) * (fz if oz else gz)
+        w = w * valid.astype(volume.dtype)
+        term = vals * w[..., None]
+        out = term if out is None else out + term
+    return out
 
 
 def nearest_sample_3d(volume, coords, *, normalized=True, align_corners=True):

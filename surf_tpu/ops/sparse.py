@@ -119,6 +119,27 @@ def gather_feats(storage, rows, valid):
     return out * valid[..., None].astype(storage.dtype)
 
 
+class DenseStorage(NamedTuple):
+    """Render-path alternative to the (P*8, C) row storage: the same
+    features scattered into a direct-indexed (res, res, res, C) volume
+    (zeros at inactive voxels).
+
+    The two-level sparse lookup costs 2 DEPENDENT gathers per corner
+    (parent-table row, then storage row) — measured as the dominant term of
+    the whole render at the 704^3 protocol (611 of 782 ms).  Direct
+    indexing halves the gather count and breaks the dependency chain, at
+    the price of materializing the dense volume (704^3 x 7ch bf16 = 4.9 GB
+    — affordable at validation/bench; training keeps the sparse rows)."""
+    vol: jnp.ndarray
+
+
+def densify_storage(grid: VoxelGrid, storage, dtype=jnp.bfloat16):
+    """(P*8, C) rows -> DenseStorage for fast render-path lookups.
+    Differentiable (scatter transpose routes gradients back to the rows)."""
+    vals = storage if dtype is None else storage.astype(dtype)
+    return DenseStorage(scatter_to_dense(grid, vals))
+
+
 def sparse_trilinear(grid: VoxelGrid, storage, pts):
     """Sparse trilinear interpolation at world points in [-1, 1]^3.
 
@@ -147,13 +168,24 @@ def sparse_trilinear(grid: VoxelGrid, storage, pts):
     fx, fy, fz = frac[..., 0], frac[..., 1], frac[..., 2]
     gx, gy, gz = 1.0 - fx, 1.0 - fy, 1.0 - fz
 
+    dense = isinstance(storage, DenseStorage)
+    if dense:
+        C = storage.vol.shape[-1]
+        flat = storage.vol.reshape(res ** 3, C)
+
     out = None
     for k in range(8):
         ox, oy, oz = (k >> 2) & 1, (k >> 1) & 1, k & 1
         off = jnp.array([ox, oy, oz], dtype=jnp.int32)
         corner = jnp.clip(c0i + off, 0, res - 1)
-        rows, valid = lookup_rows(grid, corner)
-        vals = gather_feats(storage, rows, valid)          # (..., C)
+        if dense:
+            # inactive voxels hold zero rows — same semantics as the
+            # valid-gated sparse gather, in ONE independent gather
+            idx = (corner[..., 0] * res + corner[..., 1]) * res + corner[..., 2]
+            vals = flat[idx.reshape(-1)].reshape(*idx.shape, C)
+        else:
+            rows, valid = lookup_rows(grid, corner)
+            vals = gather_feats(storage, rows, valid)      # (..., C)
         w = (fx if ox else gx) * (fy if oy else gy) * (fz if oz else gz)
         term = vals * w[..., None]
         out = term if out is None else out + term

@@ -477,6 +477,12 @@ class Runner:
                 mf_outputs, stages, matching_volume, features = build(
                     self.params, self.state, ipts, k1)
 
+            if self.conf.get_bool("train.dense_render_storage", default=True):
+                # direct-indexed bf16 feature volumes: halves the render's
+                # gather count vs the two-level sparse lookup (ops/sparse)
+                from .ops.sparse import densify_storage
+                stages = [(g, densify_storage(g, s)) for g, s in stages]
+
             stages_ff = stages[::-1]
             feats_ff = [f for f in features][::-1]
 

@@ -11,6 +11,8 @@ from surf_tpu.data.synthetic import SyntheticDataset
 from surf_tpu.nn import surf
 from surf_tpu.losses import compute_loss, make_loss_config
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def setup():

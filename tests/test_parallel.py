@@ -14,6 +14,8 @@ from surf_tpu.nn import surf
 from surf_tpu.losses import make_loss_config
 from surf_tpu.parallel import make_mesh, make_dp_train_step, stack_batches
 
+pytestmark = pytest.mark.slow
+
 
 def test_dp_train_step_4_devices():
     n_dev = 4

@@ -11,6 +11,8 @@ import pytest
 from tiny_conf import TINY
 from surf_tpu.config import ConfigFactory
 
+pytestmark = pytest.mark.slow
+
 
 def make_args(tmp_path, mode, conf_path, **kw):
     return types.SimpleNamespace(

@@ -158,3 +158,29 @@ def test_occupied_blocks_covers_all_occupancy():
     occ2 = sp.occupied_blocks_host([(g, None)], R, B)
     assert occ2[0, 0, 0]
     assert not occ2[2, 2, 2]
+
+
+def test_dense_storage_matches_sparse_trilinear():
+    """The direct-indexed render path must reproduce the two-level sparse
+    lookup exactly (f32) / to bf16 rounding (default)."""
+    grid, storage = random_grid(res=16, p_keep=0.4)
+    pts = jnp.asarray(RNG.uniform(-1.1, 1.1, (500, 3)).astype(np.float32))
+    ref = np.asarray(sp.sparse_trilinear(grid, storage, pts))
+
+    dense32 = sp.densify_storage(grid, storage, dtype=None)
+    out32 = np.asarray(sp.sparse_trilinear(grid, dense32, pts))
+    np.testing.assert_allclose(out32, ref, rtol=1e-6, atol=1e-6)
+
+    dense16 = sp.densify_storage(grid, storage)  # bf16 default
+    out16 = np.asarray(sp.sparse_trilinear(grid, dense16, pts))
+    np.testing.assert_allclose(out16, ref, rtol=2e-2, atol=2e-2)
+
+    # gradients flow back to the sparse rows through the scatter
+    def f(s):
+        return sp.sparse_trilinear(
+            grid, sp.densify_storage(grid, s, dtype=None), pts).sum()
+
+    g = np.asarray(jax.grad(f)(storage))
+    g_ref = np.asarray(jax.grad(
+        lambda s: sp.sparse_trilinear(grid, s, pts).sum())(storage))
+    np.testing.assert_allclose(g, g_ref, rtol=1e-6, atol=1e-6)

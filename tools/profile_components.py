@@ -154,6 +154,10 @@ def main():
     ).astype(jnp.dtype(mdtype))
     jax.block_until_ready(matching_volume)
 
+    if os.environ.get("PROF_DENSE_STORAGE", "1") != "0":
+        # render-path lookup acceleration: direct-indexed bf16 volumes
+        stages = [(g, sp.densify_storage(g, s)) for g, s in stages]
+        jax.block_until_ready(stages[-1][1].vol)
     stages_ff = stages[::-1]
     feats_ff = [f for f in features][::-1]
     warp_feats = jax.jit(implicit_surface.prepare_patch_features)(
