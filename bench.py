@@ -129,12 +129,15 @@ def main():
     jax.block_until_ready(matching_volume)
     build_time = time.time() - t0
 
+    occ = None
     if os.environ.get("BENCH_DENSE_STORAGE", "1") != "0":
         # render-path lookup acceleration: the two-level sparse lookup costs
         # 2 dependent gathers per corner; direct-indexed bf16 volumes halve
-        # the gather count (ops/sparse.DenseStorage)
+        # the gather count (ops/sparse.DenseStorage), and the folded
+        # occupancy volume costs 1 visibility gather instead of 4
         from surf_tpu.ops import sparse as sp_ops
         stages = [(g, sp_ops.densify_storage(g, s)) for g, s in stages]
+        occ = jax.jit(sp_ops.combined_occupancy)([g for g, _ in stages])
         jax.block_until_ready(stages[-1][1].vol)
     stages_ff = stages[::-1]
     feats_ff = [f for f in features][::-1]
@@ -145,17 +148,17 @@ def main():
     # device arrays embeds them in the serialized HLO (blows compile limits)
     @jax.jit
     def render_fn(params, key, rays_o, rays_d, near, far, matching_volume,
-                  stages_ff, feats_ff, warp_feats, imgs, intrs, c2ws):
+                  stages_ff, feats_ff, warp_feats, imgs, intrs, c2ws, occ):
         return implicit_surface.render(
             key, params["implicit_surface"], static["implicit_surface"],
             rays_o, rays_d, near, far, matching_volume, stages_ff,
             feats_ff, feats_ff, imgs, intrs, c2ws,
-            1.0, 2.0, warp_feats=warp_feats)["color_fine"]
+            1.0, 2.0, warp_feats=warp_feats, occ=occ)["color_fine"]
 
     def render(params, key, rays_o, rays_d, near, far):
         return render_fn(params, key, rays_o, rays_d, near, far,
                          matching_volume, stages_ff, feats_ff, warp_feats,
-                         batch["imgs"], batch["intrs"], batch["c2ws"])
+                         batch["imgs"], batch["intrs"], batch["c2ws"], occ)
 
     rays_o = batch["rays_o"][:n_rays]
     rays_d = batch["rays_d"][:n_rays]
@@ -186,8 +189,8 @@ def main():
         is_static = static["implicit_surface"]
 
         @jax.jit
-        def sdf_chunk(p, stages, pts):
-            grids = [g for g, _ in stages]
+        def sdf_chunk(p, stages, occ_, pts):
+            grids = occ_ if occ_ is not None else [g for g, _ in stages]
             m = implicit_surface.occupancy_mask(grids, pts)
             s = sdf_net.sdf_only(p["implicit_surface"]["sdf_network"],
                                  is_static["sdf"], pts, stages)
@@ -195,10 +198,10 @@ def main():
 
         mesh_res = int(os.environ.get("BENCH_MESH_RES", 512))
         # warm the block compile outside the timed region
-        extract_geometry(sdf_chunk, params, stages_ff, 128, block=64)
+        extract_geometry(sdf_chunk, params, stages_ff, 128, block=64, occ=occ)
         t0 = time.time()
         verts, tris, _ = extract_geometry(sdf_chunk, params, stages_ff,
-                                          mesh_res, block=64)
+                                          mesh_res, block=64, occ=occ)
         mesh_s = time.time() - t0
 
     result = {

@@ -17,20 +17,21 @@ from .marching_cubes import marching_cubes
 from ..ops.sparse import occupied_blocks_host
 
 
-def extract_geometry(sdf_fn, params, stages, resolution, block=64):
-    """sdf_fn(params, stages, pts (m,3)) -> (m,) SDF values (jitted by the
-    caller).  Returns (verts [-1,1]-frame, tris, u grid)."""
+def extract_geometry(sdf_fn, params, stages, resolution, block=64, occ=None):
+    """sdf_fn(params, stages, occ, pts (m,3)) -> (m,) SDF values (jitted by
+    the caller; ``occ`` may be None or an ops.sparse.OccupancyVolume for
+    single-gather visibility).  Returns (verts [-1,1]-frame, tris, u)."""
     R = int(resolution)
     B = int(block)
     nb = -(-R // B)
-    occ = occupied_blocks_host(stages, R, B)
+    blocks = occupied_blocks_host(stages, R, B)
 
     lin = np.linspace(-1, 1, R, dtype=np.float32)
     u = np.full((R, R, R), 100.0, np.float32)
     for bx in range(nb):
         for by in range(nb):
             for bz in range(nb):
-                if not occ[bx, by, bz]:
+                if not blocks[bx, by, bz]:
                     continue
                 sx = slice(bx * B, min((bx + 1) * B, R))
                 sy = slice(by * B, min((by + 1) * B, R))
@@ -43,7 +44,7 @@ def extract_geometry(sdf_fn, params, stages, resolution, block=64):
                 pad = B ** 3 - len(pts)
                 if pad > 0:
                     pts = np.concatenate([pts, np.zeros((pad, 3), np.float32)])
-                vals = np.asarray(sdf_fn(params, stages, jnp.asarray(pts)))
+                vals = np.asarray(sdf_fn(params, stages, occ, jnp.asarray(pts)))
                 u[sx, sy, sz] = vals[:shp[0] * shp[1] * shp[2]].reshape(shp)
     verts, tris = marching_cubes(-u, 0.0)
     verts = verts / (R - 1.0) * 2.0 - 1.0

@@ -69,7 +69,12 @@ def _safe_norm(x, axis=-1, keepdims=False, eps=1e-12):
 
 def occupancy_mask(grids, pts):
     """Point visibility: nearest-voxel occupancy in ANY stage
-    (implicit_surface.py:86: lookup_volume(mask_volumes,'nearest').any)."""
+    (implicit_surface.py:86: lookup_volume(mask_volumes,'nearest').any).
+
+    ``grids`` may be the per-stage VoxelGrid list or a precomputed
+    sp.OccupancyVolume (one gather per point instead of one per stage)."""
+    if isinstance(grids, sp.OccupancyVolume):
+        return sp.occupancy_lookup(grids, pts)
     m = None
     for g in grids:
         o = sp.occupancy_nearest(g, pts, align_corners=False)
@@ -142,7 +147,7 @@ def prepare_patch_features(features, match_features, step):
 
 def render_core(key, params, static, rays_o, rays_d, z_vals, sample_dist,
                 stages, features, warp_feats, imgs, intrs, c2ws,
-                cos_anneal_ratio, step, fused_colors=None):
+                cos_anneal_ratio, step, fused_colors=None, occ=None):
     """stages: list of (VoxelGrid, storage (P*8, 7)) fine-to-coarse.
     features: FPN maps finest-first; warp_feats: prepare_patch_features
     output."""
@@ -157,7 +162,7 @@ def render_core(key, params, static, rays_o, rays_d, z_vals, sample_dist,
     pts = (rays_o[:, None, :] + rays_d[:, None, :] * mid_z[..., None]).reshape(-1, 3)
     dirs = jnp.broadcast_to(rays_d[:, None, :], (nr, ns, 3)).reshape(-1, 3)
 
-    grids = [g for g, _ in stages]
+    grids = occ if occ is not None else [g for g, _ in stages]
     vmask = occupancy_mask(grids, pts)                       # (N,)
     vmask_f = vmask.astype(pts.dtype)
 
@@ -303,7 +308,7 @@ def render_core(key, params, static, rays_o, rays_d, z_vals, sample_dist,
 
 def render(key, params, static, rays_o, rays_d, near, far, matching_volume,
            stages, features, match_features, imgs, intrs, c2ws,
-           cos_anneal_ratio=1.0, step=None, warp_feats=None):
+           cos_anneal_ratio=1.0, step=None, warp_feats=None, occ=None):
     if near.shape[0] == 1:
         near = jnp.broadcast_to(near, (rays_o.shape[0], 1))
         far = jnp.broadcast_to(far, (rays_o.shape[0], 1))
@@ -318,12 +323,12 @@ def render(key, params, static, rays_o, rays_d, near, far, matching_volume,
     return render_core(k_core, params, static, rays_o, rays_d, z_vals,
                        sample_dist, stages, features, warp_feats, imgs,
                        intrs, c2ws, cos_anneal_ratio, step,
-                       fused_colors=fused_colors)
+                       fused_colors=fused_colors, occ=occ)
 
 
-def pseudo_sdf(params, static, pseudo_pts, stages):
+def pseudo_sdf(params, static, pseudo_pts, stages, occ=None):
     """|SDF| supervision at pseudo points (implicit_surface.py:425-434)."""
-    grids = [g for g, _ in stages]
+    grids = occ if occ is not None else [g for g, _ in stages]
     m = occupancy_mask(grids, pseudo_pts)
     s = sdf_net.sdf_only(params["sdf_network"], static["sdf"], pseudo_pts, stages)
     return s * m[:, None].astype(s.dtype)

@@ -135,9 +135,21 @@ class DenseStorage(NamedTuple):
 
 def densify_storage(grid: VoxelGrid, storage, dtype=jnp.bfloat16):
     """(P*8, C) rows -> DenseStorage for fast render-path lookups.
-    Differentiable (scatter transpose routes gradients back to the rows)."""
-    vals = storage if dtype is None else storage.astype(dtype)
-    return DenseStorage(scatter_to_dense(grid, vals))
+    Differentiable (scatter transpose routes gradients back to the rows).
+
+    Jitted internally: called eagerly, the zeros init and the scatter would
+    be separate dispatches and the 704^3 volume would exist TWICE (9.8 GB
+    transient); one jit graph scatters in place."""
+    return DenseStorage(
+        _densify_jit(grid, storage, jnp.dtype(dtype or storage.dtype)))
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnums=(2,))
+def _densify_jit(grid, storage, dtype):
+    return scatter_to_dense(grid, storage.astype(dtype))
 
 
 def sparse_trilinear(grid: VoxelGrid, storage, pts):
@@ -190,6 +202,49 @@ def sparse_trilinear(grid: VoxelGrid, storage, pts):
         term = vals * w[..., None]
         out = term if out is None else out + term
     return out
+
+
+class OccupancyVolume(NamedTuple):
+    """Cross-stage nearest-occupancy folded into one dense bool volume at
+    the finest stage resolution.
+
+    EXACT replacement for `any(occupancy_nearest(g, pts) for g in grids)`:
+    every stage resolution divides the finest one, and the nearest-neighbor
+    region of a voxel at res r is precisely the union of the (R/r)^3 fine
+    regions it contains — so the OR can be precomputed once per scene and
+    each point pays ONE gather instead of one per stage."""
+    vol: jnp.ndarray  # (R, R, R) bool
+
+
+def combined_occupancy(grids) -> OccupancyVolume:
+    res_f = max(g.res for g in grids)
+    acc = None
+    for g in grids:
+        r = g.res
+        assert res_f % r == 0, "stage resolutions must divide the finest"
+        cc = g.child_coords()
+        idx = (cc[:, 0] * r + cc[:, 1]) * r + cc[:, 2]
+        idx = jnp.where(g.cvalid, idx, r ** 3)
+        occ = jnp.zeros((r ** 3 + 1,), bool).at[idx].set(True, mode="drop")
+        occ = occ[:r ** 3].reshape(r, r, r)
+        f = res_f // r
+        if f > 1:
+            occ = jnp.repeat(jnp.repeat(jnp.repeat(occ, f, 0), f, 1), f, 2)
+        acc = occ if acc is None else acc | occ
+    return OccupancyVolume(acc)
+
+
+def occupancy_lookup(ov: OccupancyVolume, pts):
+    """Nearest-voxel occupancy (align_corners=False semantics, matching
+    occupancy_nearest) in one gather."""
+    R = ov.vol.shape[0]
+    coords = ((pts + 1.0) * R - 1.0) * 0.5
+    idx = jnp.floor(coords + 0.5).astype(jnp.int32)
+    inside = jnp.all((idx >= 0) & (idx < R), axis=-1)
+    c = jnp.clip(idx, 0, R - 1)
+    flat = ov.vol.reshape(-1)
+    return flat[((c[..., 0] * R + c[..., 1]) * R + c[..., 2]).reshape(-1)
+                ].reshape(inside.shape) & inside
 
 
 def occupancy_nearest(grid: VoxelGrid, pts, *, align_corners=False):

@@ -382,8 +382,8 @@ class Runner:
             static = self.static["implicit_surface"]
 
             @jax.jit
-            def sdf_chunk(params, stages, pts):
-                grids = [g for g, _ in stages]
+            def sdf_chunk(params, stages, occ, pts):
+                grids = occ if occ is not None else [g for g, _ in stages]
                 m = implicit_surface.occupancy_mask(grids, pts)
                 s = sdf_net.sdf_only(params["sdf_network"], static["sdf"], pts, stages)
                 # outside the active set the SDF is pinned positive (empty)
@@ -399,25 +399,25 @@ class Runner:
             @jax.jit
             def render_chunk(params, key, rays_o, rays_d, near, far,
                              matching_volume, stages, warp_feats, features,
-                             imgs, intrs, c2ws):
+                             imgs, intrs, c2ws, occ):
                 return implicit_surface.render(
                     key, params["implicit_surface"], static["implicit_surface"],
                     rays_o, rays_d, near, far, matching_volume, stages,
                     features, None, imgs, intrs, c2ws, 1.0, None,
-                    warp_feats=warp_feats)
+                    warp_feats=warp_feats, occ=occ)
 
             self._jit_cache["render_chunk"] = render_chunk
         return self._jit_cache["render_chunk"]
 
-    def extract_geometry(self, params, stages, resolution, block=64):
+    def extract_geometry(self, params, stages, resolution, block=64, occ=None):
         """Block-skipped SDF grid eval on device -> host marching cubes
         (implicit_surface.py:337-357; see geometry/extract.py)."""
         from .geometry import extract_geometry
         return extract_geometry(self._sdf_grid_jit(), params, stages,
-                                resolution, block=block)
+                                resolution, block=block, occ=occ)
 
     def render_full_image(self, params, key, ipts, stages, matching_volume,
-                          features, match_features):
+                          features, match_features, occ=None):
         render = self._render_chunk_jit()
         # per-scene patch features computed once, not per ray chunk
         warp_feats = implicit_surface.prepare_patch_features(features, None, None)
@@ -442,7 +442,7 @@ class Runner:
             r = render(params, k, jnp.asarray(ro), jnp.asarray(rd),
                        near_c, far_c,
                        matching_volume, stages, warp_feats, features,
-                       ipts["imgs"], ipts["intrs"], ipts["c2ws"])
+                       ipts["imgs"], ipts["intrs"], ipts["c2ws"], occ)
             take = chunk - pad
             outs["color_fine"].append(np.asarray(r["color_fine"])[:take])
             # normals weighted inside sphere (implicit_surface.py:380-382)
@@ -477,18 +477,23 @@ class Runner:
                 mf_outputs, stages, matching_volume, features = build(
                     self.params, self.state, ipts, k1)
 
+            occ = None
             if self.conf.get_bool("train.dense_render_storage", default=True):
                 # direct-indexed bf16 feature volumes: halves the render's
-                # gather count vs the two-level sparse lookup (ops/sparse)
-                from .ops.sparse import densify_storage
+                # gather count vs the two-level sparse lookup (ops/sparse);
+                # folded occupancy volume: 1 visibility gather instead of
+                # one per stage
+                from .ops.sparse import densify_storage, combined_occupancy
                 stages = [(g, densify_storage(g, s)) for g, s in stages]
+                occ = jax.jit(combined_occupancy)([g for g, _ in stages])
 
             stages_ff = stages[::-1]
             feats_ff = [f for f in features][::-1]
 
             t_mesh = time.time()
             verts, tris, _ = self.extract_geometry(
-                self.params["implicit_surface"], stages_ff, self.mesh_resolution)
+                self.params["implicit_surface"], stages_ff,
+                self.mesh_resolution, occ=occ)
             mesh_seconds = time.time() - t_mesh
             mesh = Mesh(verts, tris)
             if self.do_clean_mesh and "masks" in inputs:
@@ -506,7 +511,7 @@ class Runner:
             t_render = time.time()
             color, normal, sdf_depth, render_depth = self.render_full_image(
                 self.params, k2, ipts, stages_ff, matching_volume,
-                feats_ff, feats_ff)
+                feats_ff, feats_ff, occ=occ)
             n_rays_scene = int(np.asarray(ipts["rays_o"]).shape[0])
             rays_per_sec = n_rays_scene / max(time.time() - t_render, 1e-9)
 

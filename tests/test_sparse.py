@@ -184,3 +184,20 @@ def test_dense_storage_matches_sparse_trilinear():
     g_ref = np.asarray(jax.grad(
         lambda s: sp.sparse_trilinear(grid, s, pts).sum())(storage))
     np.testing.assert_allclose(g, g_ref, rtol=1e-6, atol=1e-6)
+
+
+def test_combined_occupancy_exact():
+    """One folded occupancy volume == OR of per-stage nearest lookups."""
+    grid_a, _ = random_grid(res=8, p_keep=0.3)
+    grid_b, _ = random_grid(res=16, p_keep=0.15)
+    grid_c, _ = random_grid(res=32, p_keep=0.05)
+    grids = [grid_a, grid_b, grid_c]
+    ov = sp.combined_occupancy(grids)
+    assert ov.vol.shape == (32, 32, 32)
+
+    pts = jnp.asarray(RNG.uniform(-1.2, 1.2, (5000, 3)).astype(np.float32))
+    ref = np.zeros(5000, bool)
+    for g in grids:
+        ref |= np.asarray(sp.occupancy_nearest(g, pts, align_corners=False))
+    out = np.asarray(sp.occupancy_lookup(ov, pts))
+    np.testing.assert_array_equal(out, ref)

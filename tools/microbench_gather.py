@@ -38,24 +38,25 @@ def bench(label, fn, *args, iters=10):
 
 def main():
     rng = np.random.default_rng(0)
-    n_idx = 8_000_000            # ~ the z_vals corner-gather count
+    n_idx = 8_388_608            # ~ the z_vals corner-gather count
     print(f"# device={jax.devices()[0].device_kind} n_idx={n_idx}")
 
     for n_rows, c, dtype, label in [
-        (43_614_208, 1, np.int32, "parent-table 352^3 int32"),
-        (348_913_664, 1, np.float32, "dense 704^3 f32"),
-        (348_913_664, 1, np.bfloat16, "dense 704^3 bf16"),
-        (3_145_728, 7, np.float32, "storage (3.1M,7) f32"),
-        (3_145_728, 7, np.bfloat16, "storage (3.1M,7) bf16"),
-        (3_145_728, 8, np.bfloat16, "storage (3.1M,8) bf16"),
+        (43_614_208, 1, "int32", "parent-table 352^3 int32"),
+        (348_913_664, 1, "float32", "dense 704^3 f32"),
+        (348_913_664, 1, "bfloat16", "dense 704^3 bf16"),
+        (3_145_728, 7, "float32", "storage (3.1M,7) f32"),
+        (3_145_728, 7, "bfloat16", "storage (3.1M,7) bf16"),
+        (3_145_728, 8, "bfloat16", "storage (3.1M,8) bf16"),
+        (3_145_728, 128, "bfloat16", "storage (3.1M,128) bf16"),
     ]:
-        if dtype == np.bfloat16:
-            table = jnp.asarray(
-                rng.normal(size=(n_rows, c)).astype(np.float32)
-            ).astype(jnp.bfloat16)
+        # generate on device (tunnel upload is slow) with the target dtype
+        key = jax.random.PRNGKey(n_rows % 97 + c)
+        if dtype == "int32":
+            table = jax.random.randint(key, (n_rows, c), 0, 1000, jnp.int32)
         else:
-            table = jnp.asarray(
-                (rng.normal(size=(n_rows, c)) * 100).astype(dtype))
+            table = jax.random.normal(key, (n_rows, c), jnp.float32
+                                      ).astype(jnp.dtype(dtype))
         idx_rand = jnp.asarray(
             rng.integers(0, n_rows, size=n_idx).astype(np.int32))
         idx_sorted = jnp.sort(idx_rand)

@@ -145,18 +145,21 @@ def main():
     for s in range(n_stages):
         res = base_dim * (2 ** s)
         grid = synth_grid(rng, res, caps[s], dense=(s == 0))
-        storage = jnp.asarray(
-            rng.normal(size=(grid.capacity, 7)).astype(np.float32))
+        # device-side RNG: uploading hundreds of MB through the tunnel is
+        # slower than generating on-chip
+        storage = jax.random.normal(jax.random.PRNGKey(s), (grid.capacity, 7))
         stages.append((grid, storage))
     res_fine = base_dim * 2 ** (n_stages - 1)
-    matching_volume = jnp.asarray(
-        rng.normal(size=(res_fine, res_fine, res_fine, 1)).astype(np.float32)
-    ).astype(jnp.dtype(mdtype))
+    matching_volume = jax.random.normal(
+        jax.random.PRNGKey(99), (res_fine, res_fine, res_fine, 1),
+        dtype=jnp.float32).astype(jnp.dtype(mdtype))
     jax.block_until_ready(matching_volume)
 
+    occ_vol = None
     if os.environ.get("PROF_DENSE_STORAGE", "1") != "0":
         # render-path lookup acceleration: direct-indexed bf16 volumes
         stages = [(g, sp.densify_storage(g, s)) for g, s in stages]
+        occ_vol = jax.jit(sp.combined_occupancy)([g for g, _ in stages])
         jax.block_until_ready(stages[-1][1].vol)
     stages_ff = stages[::-1]
     feats_ff = [f for f in features][::-1]
@@ -175,14 +178,14 @@ def main():
 
     # ---- full render ----
     @jax.jit
-    def full_render(key, mv, st, ff, wf):
+    def full_render(key, mv, st, ff, wf, occ):
         return implicit_surface.render(
             key, params["implicit_surface"], is_static, rays_o, rays_d,
             near, far, mv, st, ff, ff, batch["imgs"], batch["intrs"],
-            batch["c2ws"], 1.0, 2.0, warp_feats=wf)["color_fine"]
+            batch["c2ws"], 1.0, 2.0, warp_feats=wf, occ=occ)["color_fine"]
 
     t_full = bench("render", full_render, key, matching_volume, stages_ff,
-                   feats_ff, warp_feats)
+                   feats_ff, warp_feats, occ_vol)
 
     # ---- z_vals (dense density render) ----
     @jax.jit
@@ -205,6 +208,11 @@ def main():
         return implicit_surface.occupancy_mask([g for g, _ in st], p)
 
     t_occ = bench("occmask", occ, stages_ff, pts)
+    if occ_vol is not None:
+        @jax.jit
+        def occ2(ov, p):
+            return implicit_surface.occupancy_mask(ov, p)
+        t_occ = bench("occ_folded", occ2, occ_vol, pts)
 
     # ---- SDF fused value+grads ----
     @jax.jit
