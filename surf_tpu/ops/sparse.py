@@ -180,24 +180,18 @@ def sparse_trilinear(grid: VoxelGrid, storage, pts):
     fx, fy, fz = frac[..., 0], frac[..., 1], frac[..., 2]
     gx, gy, gz = 1.0 - fx, 1.0 - fy, 1.0 - fz
 
-    dense = isinstance(storage, DenseStorage)
-    if dense:
-        C = storage.vol.shape[-1]
-        flat = storage.vol.reshape(res ** 3, C)
+    if isinstance(storage, DenseStorage):
+        # inactive voxels hold zero rows — same semantics as the valid-gated
+        # sparse gather, with one independent PAIRED gather per (x,y) corner
+        return dense_trilinear_paired(storage.vol, pts)
 
     out = None
     for k in range(8):
         ox, oy, oz = (k >> 2) & 1, (k >> 1) & 1, k & 1
         off = jnp.array([ox, oy, oz], dtype=jnp.int32)
         corner = jnp.clip(c0i + off, 0, res - 1)
-        if dense:
-            # inactive voxels hold zero rows — same semantics as the
-            # valid-gated sparse gather, in ONE independent gather
-            idx = (corner[..., 0] * res + corner[..., 1]) * res + corner[..., 2]
-            vals = flat[idx.reshape(-1)].reshape(*idx.shape, C)
-        else:
-            rows, valid = lookup_rows(grid, corner)
-            vals = gather_feats(storage, rows, valid)      # (..., C)
+        rows, valid = lookup_rows(grid, corner)
+        vals = gather_feats(storage, rows, valid)          # (..., C)
         w = (fx if ox else gx) * (fy if oy else gy) * (fz if oz else gz)
         term = vals * w[..., None]
         out = term if out is None else out + term
@@ -247,6 +241,57 @@ def occupancy_lookup(ov: OccupancyVolume, pts):
                 ].reshape(inside.shape) & inside
 
 
+def _gather_z_pairs(flat, starts, C):
+    """Gather rows (starts, starts+1) from ``flat`` (M, C) in ONE gather op
+    per element: slice_sizes=(2, C).  Returns (n, 2, C).  XLA clamps start
+    indices so the slice fits (callers pre-clip z to res-2 and adjust the
+    z fraction instead)."""
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(),
+        start_index_map=(0,))
+    return jax.lax.gather(
+        flat, starts[:, None].astype(jnp.int32), dn, slice_sizes=(2, C),
+        mode=jax.lax.GatherScatterMode.CLIP)
+
+
+def dense_trilinear_paired(vol, pts):
+    """Trilinear lookup into a DenseStorage-style volume with HALF the
+    gathers: the two z-corners of each (x, y) corner pair are adjacent in
+    memory (z-minor layout), so one sliced gather fetches both.
+
+    Exactly equivalent to the DenseStorage branch of ``sparse_trilinear``
+    (clamped border semantics): for z0 clipped to res-2, the z fraction is
+    re-derived as clip(z - z0', 0, 1), which reproduces the clamp at both
+    volume ends.  vol: (res, res, res, C); pts (..., 3) -> (..., C)."""
+    res = vol.shape[0]
+    C = vol.shape[-1]
+    flat = vol.reshape(res ** 3, C)
+    shape = pts.shape[:-1]
+    p = pts.reshape(-1, 3)
+    coords = (p + 1.0) * 0.5 * (res - 1)
+    c0 = jnp.floor(coords)
+    c0i = c0.astype(jnp.int32)
+    fx, fy = coords[:, 0] - c0[:, 0], coords[:, 1] - c0[:, 1]
+    gx, gy = 1.0 - fx, 1.0 - fy
+
+    z0 = jnp.clip(c0i[:, 2], 0, res - 2)
+    fz = jnp.clip(coords[:, 2] - z0.astype(coords.dtype), 0.0, 1.0)
+    gz = 1.0 - fz
+
+    out = None
+    for k in range(4):
+        ox, oy = (k >> 1) & 1, k & 1
+        cx = jnp.clip(c0i[:, 0] + ox, 0, res - 1)
+        cy = jnp.clip(c0i[:, 1] + oy, 0, res - 1)
+        starts = (cx * res + cy) * res + z0
+        pair = _gather_z_pairs(flat, starts, C)        # (n, 2, C)
+        vals = pair[:, 0] * gz[:, None] + pair[:, 1] * fz[:, None]
+        w = (fx if ox else gx) * (fy if oy else gy)
+        term = vals * w[:, None]
+        out = term if out is None else out + term
+    return out.reshape(*shape, C)
+
+
 def occupancy_nearest(grid: VoxelGrid, pts, *, align_corners=False):
     """Nearest-voxel occupancy test at world points in [-1,1]^3.
 
@@ -280,14 +325,16 @@ def scatter_to_dense(grid: VoxelGrid, values, *, background=None):
     n3 = res ** 3
     cc = grid.child_coords()
     idx = (cc[:, 0] * res + cc[:, 1]) * res + cc[:, 2]
+    # invalid children scatter out of bounds and are DROPPED — no dump-slot
+    # row, so no (n3+1)->(n3) slice copy (at 704^3 that copy is 4.9 GB and
+    # doubles the peak)
     idx = jnp.where(grid.cvalid, idx, n3)
     if background is None:
-        flat = jnp.zeros((n3 + 1, C), dtype=values.dtype)
+        flat = jnp.zeros((n3, C), dtype=values.dtype)
     else:
-        flat = jnp.concatenate(
-            [background.reshape(n3, C), jnp.zeros((1, C), background.dtype)], axis=0)
+        flat = background.reshape(n3, C)
     flat = flat.at[idx].set(values.reshape(-1, C), mode="drop")
-    return flat[:n3].reshape(res, res, res, C)
+    return flat.reshape(res, res, res, C)
 
 
 def compact_parents(scores, pvalid, capacity: int):
