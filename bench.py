@@ -138,7 +138,7 @@ def main():
         from surf_tpu.ops import sparse as sp_ops
         stages = [(g, sp_ops.densify_storage(g, s)) for g, s in stages]
         occ = jax.jit(sp_ops.combined_occupancy)([g for g, _ in stages])
-        jax.block_until_ready(stages[-1][1].vol)
+        jax.block_until_ready(stages[-1][1].flat)
     stages_ff = stages[::-1]
     feats_ff = [f for f in features][::-1]
     warp_feats = jax.jit(implicit_surface.prepare_patch_features)(

@@ -119,18 +119,41 @@ def gather_feats(storage, rows, valid):
     return out * valid[..., None].astype(storage.dtype)
 
 
-class DenseStorage(NamedTuple):
+@jax.tree_util.register_pytree_node_class
+class DenseStorage:
     """Render-path alternative to the (P*8, C) row storage: the same
-    features scattered into a direct-indexed (res, res, res, C) volume
-    (zeros at inactive voxels).
+    features scattered into a direct-indexed FLAT (res^3, C) volume
+    (zeros at inactive voxels; ``res`` rides the pytree aux data so it
+    stays a Python int under jit).
 
     The two-level sparse lookup costs 2 DEPENDENT gathers per corner
     (parent-table row, then storage row) — measured as the dominant term of
     the whole render at the 704^3 protocol (611 of 782 ms).  Direct
     indexing halves the gather count and breaks the dependency chain, at
     the price of materializing the dense volume (704^3 x 7ch bf16 = 4.9 GB
-    — affordable at validation/bench; training keeps the sparse rows)."""
-    vol: jnp.ndarray
+    — affordable at validation/bench; training keeps the sparse rows).
+    Kept flat rather than (res,res,res,C): the 4D tiled layout forces the
+    render graph to materialize a 2D reshape copy AND a channel-major
+    gather-operand copy — 10 GB of duplicates at stage 3."""
+
+    def __init__(self, flat, res):
+        self.flat = flat          # (res**3, C)
+        self.res = int(res)
+
+    def tree_flatten(self):
+        return (self.flat,), self.res
+
+    @classmethod
+    def tree_unflatten(cls, res, children):
+        obj = cls.__new__(cls)
+        obj.flat = children[0]
+        obj.res = res
+        return obj
+
+    @property
+    def vol(self):
+        C = self.flat.shape[-1]
+        return self.flat.reshape(self.res, self.res, self.res, C)
 
 
 def densify_storage(grid: VoxelGrid, storage, dtype=jnp.bfloat16):
@@ -140,8 +163,8 @@ def densify_storage(grid: VoxelGrid, storage, dtype=jnp.bfloat16):
     Jitted internally: called eagerly, the zeros init and the scatter would
     be separate dispatches and the 704^3 volume would exist TWICE (9.8 GB
     transient); one jit graph scatters in place."""
-    return DenseStorage(
-        _densify_jit(grid, storage, jnp.dtype(dtype or storage.dtype)))
+    flat = _densify_jit(grid, storage, jnp.dtype(dtype or storage.dtype))
+    return DenseStorage(flat, grid.res)
 
 
 from functools import partial as _partial
@@ -149,7 +172,14 @@ from functools import partial as _partial
 
 @_partial(jax.jit, static_argnums=(2,))
 def _densify_jit(grid, storage, dtype):
-    return scatter_to_dense(grid, storage.astype(dtype))
+    res = grid.res
+    C = storage.shape[-1]
+    n3 = res ** 3
+    cc = grid.child_coords()
+    idx = (cc[:, 0] * res + cc[:, 1]) * res + cc[:, 2]
+    idx = jnp.where(grid.cvalid, idx, n3)  # OOB -> dropped
+    flat = jnp.zeros((n3, C), dtype=dtype)
+    return flat.at[idx].set(storage.astype(dtype), mode="drop")
 
 
 def sparse_trilinear(grid: VoxelGrid, storage, pts):
@@ -183,7 +213,7 @@ def sparse_trilinear(grid: VoxelGrid, storage, pts):
     if isinstance(storage, DenseStorage):
         # inactive voxels hold zero rows — same semantics as the valid-gated
         # sparse gather, with one independent PAIRED gather per (x,y) corner
-        return dense_trilinear_paired(storage.vol, pts)
+        return dense_trilinear_paired(storage, pts)
 
     out = None
     for k in range(8):
@@ -198,16 +228,35 @@ def sparse_trilinear(grid: VoxelGrid, storage, pts):
     return out
 
 
-class OccupancyVolume(NamedTuple):
+@jax.tree_util.register_pytree_node_class
+class OccupancyVolume:
     """Cross-stage nearest-occupancy folded into one dense bool volume at
-    the finest stage resolution.
+    the finest stage resolution, kept FLAT (R^3,) so the gather never
+    forces a layout-change copy.
 
     EXACT replacement for `any(occupancy_nearest(g, pts) for g in grids)`:
     every stage resolution divides the finest one, and the nearest-neighbor
     region of a voxel at res r is precisely the union of the (R/r)^3 fine
     regions it contains — so the OR can be precomputed once per scene and
     each point pays ONE gather instead of one per stage."""
-    vol: jnp.ndarray  # (R, R, R) bool
+
+    def __init__(self, flat, res):
+        self.flat = flat          # (res**3,) bool
+        self.res = int(res)
+
+    def tree_flatten(self):
+        return (self.flat,), self.res
+
+    @classmethod
+    def tree_unflatten(cls, res, children):
+        obj = cls.__new__(cls)
+        obj.flat = children[0]
+        obj.res = res
+        return obj
+
+    @property
+    def vol(self):
+        return self.flat.reshape(self.res, self.res, self.res)
 
 
 def combined_occupancy(grids) -> OccupancyVolume:
@@ -225,20 +274,19 @@ def combined_occupancy(grids) -> OccupancyVolume:
         if f > 1:
             occ = jnp.repeat(jnp.repeat(jnp.repeat(occ, f, 0), f, 1), f, 2)
         acc = occ if acc is None else acc | occ
-    return OccupancyVolume(acc)
+    return OccupancyVolume(acc.reshape(-1), res_f)
 
 
 def occupancy_lookup(ov: OccupancyVolume, pts):
     """Nearest-voxel occupancy (align_corners=False semantics, matching
     occupancy_nearest) in one gather."""
-    R = ov.vol.shape[0]
+    R = ov.res
     coords = ((pts + 1.0) * R - 1.0) * 0.5
     idx = jnp.floor(coords + 0.5).astype(jnp.int32)
     inside = jnp.all((idx >= 0) & (idx < R), axis=-1)
     c = jnp.clip(idx, 0, R - 1)
-    flat = ov.vol.reshape(-1)
-    return flat[((c[..., 0] * R + c[..., 1]) * R + c[..., 2]).reshape(-1)
-                ].reshape(inside.shape) & inside
+    return ov.flat[((c[..., 0] * R + c[..., 1]) * R + c[..., 2]).reshape(-1)
+                   ].reshape(inside.shape) & inside
 
 
 def _gather_z_pairs(flat, starts, C):
@@ -254,18 +302,17 @@ def _gather_z_pairs(flat, starts, C):
         mode=jax.lax.GatherScatterMode.CLIP)
 
 
-def dense_trilinear_paired(vol, pts):
-    """Trilinear lookup into a DenseStorage-style volume with HALF the
-    gathers: the two z-corners of each (x, y) corner pair are adjacent in
-    memory (z-minor layout), so one sliced gather fetches both.
+def dense_trilinear_paired(storage: "DenseStorage", pts):
+    """Trilinear lookup into a DenseStorage volume with HALF the gathers:
+    the two z-corners of each (x, y) corner pair are adjacent in memory
+    (z-minor layout), so one sliced gather fetches both.
 
-    Exactly equivalent to the DenseStorage branch of ``sparse_trilinear``
-    (clamped border semantics): for z0 clipped to res-2, the z fraction is
-    re-derived as clip(z - z0', 0, 1), which reproduces the clamp at both
-    volume ends.  vol: (res, res, res, C); pts (..., 3) -> (..., C)."""
-    res = vol.shape[0]
-    C = vol.shape[-1]
-    flat = vol.reshape(res ** 3, C)
+    Clamped border semantics (matching the sparse path): for z0 clipped to
+    res-2, the z fraction is re-derived as clip(z - z0', 0, 1), which
+    reproduces the clamp at both volume ends.  pts (..., 3) -> (..., C)."""
+    res = storage.res
+    flat = storage.flat
+    C = flat.shape[-1]
     shape = pts.shape[:-1]
     p = pts.reshape(-1, 3)
     coords = (p + 1.0) * 0.5 * (res - 1)

@@ -210,8 +210,8 @@ def test_dense_trilinear_paired_matches():
     dense = sp.densify_storage(grid, storage, dtype=None)
     pts = jnp.asarray(RNG.uniform(-1.3, 1.3, (800, 3)).astype(np.float32))
     ref = np.asarray(sp.sparse_trilinear(grid, dense, pts))
-    out = np.asarray(sp.dense_trilinear_paired(dense.vol, pts))
+    out = np.asarray(sp.dense_trilinear_paired(dense, pts))
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
     # differentiable w.r.t. pts (the render takes grads through lookups)
-    g = jax.grad(lambda p: sp.dense_trilinear_paired(dense.vol, p).sum())(pts)
+    g = jax.grad(lambda p: sp.dense_trilinear_paired(dense, p).sum())(pts)
     assert np.all(np.isfinite(np.asarray(g)))

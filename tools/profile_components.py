@@ -160,7 +160,7 @@ def main():
         # render-path lookup acceleration: direct-indexed bf16 volumes
         stages = [(g, sp.densify_storage(g, s)) for g, s in stages]
         occ_vol = jax.jit(sp.combined_occupancy)([g for g, _ in stages])
-        jax.block_until_ready(stages[-1][1].vol)
+        jax.block_until_ready(stages[-1][1].flat)
     stages_ff = stages[::-1]
     feats_ff = [f for f in features][::-1]
     warp_feats = jax.jit(implicit_surface.prepare_patch_features)(
