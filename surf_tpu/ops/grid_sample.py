@@ -124,7 +124,7 @@ def trilinear_sample_3d(volume, coords, *, normalized=True, align_corners=True):
     y0i = y0.astype(jnp.int32)
     z0i = z0.astype(jnp.int32)
 
-    flat = volume.reshape(X * Y * Z, C)
+    flat = volume.reshape(-1)
 
     # Corners UNROLLED over (x, y) — stacked (..., 8, C) intermediates force
     # the 8/C axes onto the 128-lane dim (16x padding + multi-GB AD temps).
@@ -151,9 +151,9 @@ def trilinear_sample_3d(volume, coords, *, normalized=True, align_corners=True):
         cx, cy = x0i + ox, y0i + oy
         valid = (cx >= 0) & (cx < X) & (cy >= 0) & (cy < Y)
         starts = (jnp.clip(cx, 0, X - 1) * Y + jnp.clip(cy, 0, Y - 1)) * Z + z0c
-        pair = _gather_z_pairs(flat, starts.reshape(-1), C)     # (n, 2, C)
-        vals = (pair[:, 0] * a0.reshape(-1)[:, None]
-                + pair[:, 1] * a1.reshape(-1)[:, None]).reshape(*shape, C)
+        pair = _gather_z_pairs(flat, starts.reshape(-1), C)     # (n, 2C)
+        vals = (pair[:, :C] * a0.reshape(-1)[:, None]
+                + pair[:, C:] * a1.reshape(-1)[:, None]).reshape(*shape, C)
         w = (fx if ox else gx) * (fy if oy else gy)
         w = w * valid.astype(volume.dtype)
         term = vals * w[..., None]

@@ -122,38 +122,42 @@ def gather_feats(storage, rows, valid):
 @jax.tree_util.register_pytree_node_class
 class DenseStorage:
     """Render-path alternative to the (P*8, C) row storage: the same
-    features scattered into a direct-indexed FLAT (res^3, C) volume
-    (zeros at inactive voxels; ``res`` rides the pytree aux data so it
-    stays a Python int under jit).
+    features scattered into a direct-indexed 1-D volume of length
+    res^3 * C, ordered (x, y, z, channel) — i.e. voxel rows of C channels,
+    z-minor (zeros at inactive voxels).  ``res``/``C`` ride the pytree aux
+    data as Python ints.
+
+    Why 1-D: every 2-D arrangement of a (huge, tiny-C) array either pads
+    the C axis to the 128-lane tile (18x memory — an 89 GB scatter copy at
+    704^3) or goes channel-major, which the row gathers then copy back.
+    1-D arrays tile linearly with no padding, and one sliced gather of
+    2C contiguous elements fetches BOTH z-corners of a stencil column.
 
     The two-level sparse lookup costs 2 DEPENDENT gathers per corner
     (parent-table row, then storage row) — measured as the dominant term of
     the whole render at the 704^3 protocol (611 of 782 ms).  Direct
     indexing halves the gather count and breaks the dependency chain, at
     the price of materializing the dense volume (704^3 x 7ch bf16 = 4.9 GB
-    — affordable at validation/bench; training keeps the sparse rows).
-    Kept flat rather than (res,res,res,C): the 4D tiled layout forces the
-    render graph to materialize a 2D reshape copy AND a channel-major
-    gather-operand copy — 10 GB of duplicates at stage 3."""
+    — affordable at validation/bench; training keeps the sparse rows)."""
 
-    def __init__(self, flat, res):
-        self.flat = flat          # (res**3, C)
+    def __init__(self, flat, res, C):
+        self.flat = flat          # (res**3 * C,)
         self.res = int(res)
+        self.C = int(C)
 
     def tree_flatten(self):
-        return (self.flat,), self.res
+        return (self.flat,), (self.res, self.C)
 
     @classmethod
-    def tree_unflatten(cls, res, children):
+    def tree_unflatten(cls, aux, children):
         obj = cls.__new__(cls)
         obj.flat = children[0]
-        obj.res = res
+        obj.res, obj.C = aux
         return obj
 
     @property
     def vol(self):
-        C = self.flat.shape[-1]
-        return self.flat.reshape(self.res, self.res, self.res, C)
+        return self.flat.reshape(self.res, self.res, self.res, self.C)
 
 
 def densify_storage(grid: VoxelGrid, storage, dtype=jnp.bfloat16):
@@ -164,7 +168,7 @@ def densify_storage(grid: VoxelGrid, storage, dtype=jnp.bfloat16):
     be separate dispatches and the 704^3 volume would exist TWICE (9.8 GB
     transient); one jit graph scatters in place."""
     flat = _densify_jit(grid, storage, jnp.dtype(dtype or storage.dtype))
-    return DenseStorage(flat, grid.res)
+    return DenseStorage(flat, grid.res, storage.shape[-1])
 
 
 from functools import partial as _partial
@@ -176,10 +180,13 @@ def _densify_jit(grid, storage, dtype):
     C = storage.shape[-1]
     n3 = res ** 3
     cc = grid.child_coords()
-    idx = (cc[:, 0] * res + cc[:, 1]) * res + cc[:, 2]
-    idx = jnp.where(grid.cvalid, idx, n3)  # OOB -> dropped
-    flat = jnp.zeros((n3, C), dtype=dtype)
-    return flat.at[idx].set(storage.astype(dtype), mode="drop")
+    row = (cc[:, 0] * res + cc[:, 1]) * res + cc[:, 2]
+    row = jnp.where(grid.cvalid, row, n3)  # OOB -> dropped
+    # element scatter into the 1-D layout: index (nvox, C) of flat positions
+    idx = row[:, None] * C + jnp.arange(C, dtype=row.dtype)[None]
+    flat = jnp.zeros((n3 * C,), dtype=dtype)
+    return flat.at[idx.reshape(-1)].set(
+        storage.astype(dtype).reshape(-1), mode="drop")
 
 
 def sparse_trilinear(grid: VoxelGrid, storage, pts):
@@ -259,6 +266,20 @@ class OccupancyVolume:
         return self.flat.reshape(self.res, self.res, self.res)
 
 
+def _upsample_bool_x(occ3, f):
+    """Nearest 3D upsampling of a bool grid by integer factor f, using only
+    MAJOR-axis repeats (a minor-axis jnp.repeat broadcasts a (..., f) tiled
+    intermediate whose 128-lane padding explodes 64x at 704^3; transposes
+    are cheap bounded copies instead)."""
+    r = occ3.shape[0]
+    x = jnp.repeat(occ3.reshape(r, r * r), f, axis=0)         # expand x
+    x = x.reshape(f * r * r, r)
+    x = jnp.repeat(x, f, axis=0).reshape(f * r, f * r, r)     # expand y
+    x = x.transpose(2, 0, 1).reshape(r, -1)                   # z major
+    x = jnp.repeat(x, f, axis=0)                              # expand z
+    return x.reshape(f * r, f * r, f * r).transpose(1, 2, 0)
+
+
 def combined_occupancy(grids) -> OccupancyVolume:
     res_f = max(g.res for g in grids)
     acc = None
@@ -267,14 +288,13 @@ def combined_occupancy(grids) -> OccupancyVolume:
         assert res_f % r == 0, "stage resolutions must divide the finest"
         cc = g.child_coords()
         idx = (cc[:, 0] * r + cc[:, 1]) * r + cc[:, 2]
-        idx = jnp.where(g.cvalid, idx, r ** 3)
-        occ = jnp.zeros((r ** 3 + 1,), bool).at[idx].set(True, mode="drop")
-        occ = occ[:r ** 3].reshape(r, r, r)
+        idx = jnp.where(g.cvalid, idx, r ** 3)  # OOB -> dropped
+        occ = jnp.zeros((r ** 3,), bool).at[idx].set(True, mode="drop")
         f = res_f // r
         if f > 1:
-            occ = jnp.repeat(jnp.repeat(jnp.repeat(occ, f, 0), f, 1), f, 2)
+            occ = _upsample_bool_x(occ.reshape(r, r, r), f).reshape(-1)
         acc = occ if acc is None else acc | occ
-    return OccupancyVolume(acc.reshape(-1), res_f)
+    return OccupancyVolume(acc, res_f)
 
 
 def occupancy_lookup(ov: OccupancyVolume, pts):
@@ -289,16 +309,18 @@ def occupancy_lookup(ov: OccupancyVolume, pts):
                    ].reshape(inside.shape) & inside
 
 
-def _gather_z_pairs(flat, starts, C):
-    """Gather rows (starts, starts+1) from ``flat`` (M, C) in ONE gather op
-    per element: slice_sizes=(2, C).  Returns (n, 2, C).  XLA clamps start
-    indices so the slice fits (callers pre-clip z to res-2 and adjust the
-    z fraction instead)."""
+def _gather_z_pairs(flat1d, row_starts, C):
+    """Gather the 2C contiguous values of voxel rows (start, start+1) from
+    a 1-D (n3*C,) volume in ONE sliced gather per element.  Returns
+    (n, 2C) = [row z0 channels | row z0+1 channels].  CLIP mode clamps the
+    start so the slice fits (callers pre-clip z to res-2 and adjust the z
+    fraction instead)."""
     dn = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1, 2), collapsed_slice_dims=(),
+        offset_dims=(1,), collapsed_slice_dims=(),
         start_index_map=(0,))
+    starts = (row_starts * C)[:, None].astype(jnp.int32)
     return jax.lax.gather(
-        flat, starts[:, None].astype(jnp.int32), dn, slice_sizes=(2, C),
+        flat1d, starts, dn, slice_sizes=(2 * C,),
         mode=jax.lax.GatherScatterMode.CLIP)
 
 
@@ -312,7 +334,7 @@ def dense_trilinear_paired(storage: "DenseStorage", pts):
     reproduces the clamp at both volume ends.  pts (..., 3) -> (..., C)."""
     res = storage.res
     flat = storage.flat
-    C = flat.shape[-1]
+    C = storage.C
     shape = pts.shape[:-1]
     p = pts.reshape(-1, 3)
     coords = (p + 1.0) * 0.5 * (res - 1)
@@ -331,8 +353,8 @@ def dense_trilinear_paired(storage: "DenseStorage", pts):
         cx = jnp.clip(c0i[:, 0] + ox, 0, res - 1)
         cy = jnp.clip(c0i[:, 1] + oy, 0, res - 1)
         starts = (cx * res + cy) * res + z0
-        pair = _gather_z_pairs(flat, starts, C)        # (n, 2, C)
-        vals = pair[:, 0] * gz[:, None] + pair[:, 1] * fz[:, None]
+        pair = _gather_z_pairs(flat, starts, C)        # (n, 2C)
+        vals = pair[:, :C] * gz[:, None] + pair[:, C:] * fz[:, None]
         w = (fx if ox else gx) * (fy if oy else gy)
         term = vals * w[:, None]
         out = term if out is None else out + term
