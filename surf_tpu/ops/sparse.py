@@ -182,8 +182,10 @@ def _densify_jit(grid, storage, dtype):
     cc = grid.child_coords()
     row = (cc[:, 0] * res + cc[:, 1]) * res + cc[:, 2]
     row = jnp.where(grid.cvalid, row, n3)  # OOB -> dropped
-    # element scatter into the 1-D layout: index (nvox, C) of flat positions
-    idx = row[:, None] * C + jnp.arange(C, dtype=row.dtype)[None]
+    # element scatter into the 1-D layout: index (nvox, C) of flat
+    # positions — uint32: n3*C exceeds int32 at 704^3 x 7ch (2.44e9)
+    idx = row.astype(jnp.uint32)[:, None] * jnp.uint32(C) \
+        + jnp.arange(C, dtype=jnp.uint32)[None]
     flat = jnp.zeros((n3 * C,), dtype=dtype)
     return flat.at[idx.reshape(-1)].set(
         storage.astype(dtype).reshape(-1), mode="drop")
@@ -318,7 +320,8 @@ def _gather_z_pairs(flat1d, row_starts, C):
     dn = jax.lax.GatherDimensionNumbers(
         offset_dims=(1,), collapsed_slice_dims=(),
         start_index_map=(0,))
-    starts = (row_starts * C)[:, None].astype(jnp.int32)
+    # uint32: flat length n3*C exceeds int32 at 704^3 x 7ch (2.44e9)
+    starts = (row_starts.astype(jnp.uint32) * jnp.uint32(C))[:, None]
     return jax.lax.gather(
         flat1d, starts, dn, slice_sizes=(2 * C,),
         mode=jax.lax.GatherScatterMode.CLIP)
