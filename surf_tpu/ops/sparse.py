@@ -140,24 +140,26 @@ class DenseStorage:
     the price of materializing the dense volume (704^3 x 7ch bf16 = 4.9 GB
     — affordable at validation/bench; training keeps the sparse rows)."""
 
-    def __init__(self, flat, res, C):
-        self.flat = flat          # (res**3 * C,)
+    def __init__(self, flat, res, C, C_pad=None):
+        self.flat = flat          # (res**3 * C_pad,)
         self.res = int(res)
         self.C = int(C)
+        self.C_pad = int(C_pad if C_pad is not None else C)
 
     def tree_flatten(self):
-        return (self.flat,), (self.res, self.C)
+        return (self.flat,), (self.res, self.C, self.C_pad)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = cls.__new__(cls)
         obj.flat = children[0]
-        obj.res, obj.C = aux
+        obj.res, obj.C, obj.C_pad = aux
         return obj
 
     @property
     def vol(self):
-        return self.flat.reshape(self.res, self.res, self.res, self.C)
+        v = self.flat.reshape(self.res, self.res, self.res, self.C_pad)
+        return v[..., :self.C]
 
 
 def densify_storage(grid: VoxelGrid, storage, dtype=jnp.bfloat16):
@@ -166,29 +168,41 @@ def densify_storage(grid: VoxelGrid, storage, dtype=jnp.bfloat16):
 
     Jitted internally: called eagerly, the zeros init and the scatter would
     be separate dispatches and the 704^3 volume would exist TWICE (9.8 GB
-    transient); one jit graph scatters in place."""
-    flat = _densify_jit(grid, storage, jnp.dtype(dtype or storage.dtype))
-    return DenseStorage(flat, grid.res, storage.shape[-1])
+    transient); one jit graph scatters in place.
+
+    For 16-bit dtypes the channel count is padded to even so gathers can
+    run in uint32-bitcast units — flat-element indices at 704^3 x 7ch
+    overflow int32, and uint32 indices crash the TPU compiler."""
+    dt = jnp.dtype(dtype or storage.dtype)
+    C = storage.shape[-1]
+    C_pad = C + (C % 2) if dt.itemsize == 2 else C
+    if dt.itemsize == 4:
+        assert grid.res ** 3 * C_pad < 2 ** 31, \
+            "f32 dense volume too large for int32 flat indexing; use bf16"
+    flat = _densify_jit(grid, storage, dt, C_pad)
+    return DenseStorage(flat, grid.res, C, C_pad)
 
 
 from functools import partial as _partial
 
 
-@_partial(jax.jit, static_argnums=(2,))
-def _densify_jit(grid, storage, dtype):
+@_partial(jax.jit, static_argnums=(2, 3))
+def _densify_jit(grid, storage, dtype, C_pad):
     res = grid.res
     C = storage.shape[-1]
     n3 = res ** 3
     cc = grid.child_coords()
-    row = (cc[:, 0] * res + cc[:, 1]) * res + cc[:, 2]
-    row = jnp.where(grid.cvalid, row, n3)  # OOB -> dropped
-    # element scatter into the 1-D layout: index (nvox, C) of flat
-    # positions — uint32: n3*C exceeds int32 at 704^3 x 7ch (2.44e9)
-    idx = row.astype(jnp.uint32)[:, None] * jnp.uint32(C) \
-        + jnp.arange(C, dtype=jnp.uint32)[None]
-    flat = jnp.zeros((n3 * C,), dtype=dtype)
-    return flat.at[idx.reshape(-1)].set(
-        storage.astype(dtype).reshape(-1), mode="drop")
+    vals = storage.astype(dtype)
+    if C_pad != C:
+        vals = jnp.concatenate(
+            [vals, jnp.zeros((vals.shape[0], C_pad - C), dtype)], axis=-1)
+    # scatter in 4-D: its tiled layout {2,1,0,3} stays compact, whereas a
+    # 2-D (n3, C) scatter output pads C to the 128-lane tile (89 GB at
+    # 704^3).  The reshape to 1-D relayouts once inside this jit.
+    x = jnp.where(grid.cvalid, cc[:, 0], res)  # OOB -> dropped
+    vol4 = jnp.zeros((res, res, res, C_pad), dtype=dtype)
+    vol4 = vol4.at[x, cc[:, 1], cc[:, 2]].set(vals, mode="drop")
+    return vol4.reshape(-1)
 
 
 def sparse_trilinear(grid: VoxelGrid, storage, pts):
@@ -316,12 +330,24 @@ def _gather_z_pairs(flat1d, row_starts, C):
     a 1-D (n3*C,) volume in ONE sliced gather per element.  Returns
     (n, 2C) = [row z0 channels | row z0+1 channels].  CLIP mode clamps the
     start so the slice fits (callers pre-clip z to res-2 and adjust the z
-    fraction instead)."""
+    fraction instead).
+
+    16-bit dtypes with even C gather in uint32-bitcast units so start
+    indices stay int32 (flat-element counts at 704^3 x 7ch exceed int32;
+    uint32 gather indices crash the TPU compiler)."""
     dn = jax.lax.GatherDimensionNumbers(
         offset_dims=(1,), collapsed_slice_dims=(),
         start_index_map=(0,))
-    # uint32: flat length n3*C exceeds int32 at 704^3 x 7ch (2.44e9)
-    starts = (row_starts.astype(jnp.uint32) * jnp.uint32(C))[:, None]
+    dt = flat1d.dtype
+    if dt.itemsize == 2 and C % 2 == 0:
+        u32 = jax.lax.bitcast_convert_type(
+            flat1d.reshape(-1, 2), jnp.uint32)
+        starts = (row_starts * (C // 2))[:, None].astype(jnp.int32)
+        out = jax.lax.gather(u32, starts, dn, slice_sizes=(C,),
+                             mode=jax.lax.GatherScatterMode.CLIP)
+        pairs = jax.lax.bitcast_convert_type(out, dt)   # (n, C, 2)
+        return pairs.reshape(-1, 2 * C)
+    starts = (row_starts * C)[:, None].astype(jnp.int32)
     return jax.lax.gather(
         flat1d, starts, dn, slice_sizes=(2 * C,),
         mode=jax.lax.GatherScatterMode.CLIP)
@@ -338,6 +364,7 @@ def dense_trilinear_paired(storage: "DenseStorage", pts):
     res = storage.res
     flat = storage.flat
     C = storage.C
+    Cp = storage.C_pad
     shape = pts.shape[:-1]
     p = pts.reshape(-1, 3)
     coords = (p + 1.0) * 0.5 * (res - 1)
@@ -356,8 +383,9 @@ def dense_trilinear_paired(storage: "DenseStorage", pts):
         cx = jnp.clip(c0i[:, 0] + ox, 0, res - 1)
         cy = jnp.clip(c0i[:, 1] + oy, 0, res - 1)
         starts = (cx * res + cy) * res + z0
-        pair = _gather_z_pairs(flat, starts, C)        # (n, 2C)
-        vals = pair[:, :C] * gz[:, None] + pair[:, C:] * fz[:, None]
+        pair = _gather_z_pairs(flat, starts, Cp)       # (n, 2*Cp)
+        vals = pair[:, :C] * gz[:, None] \
+            + pair[:, Cp:Cp + C] * fz[:, None]
         w = (fx if ox else gx) * (fy if oy else gy)
         term = vals * w[:, None]
         out = term if out is None else out + term
