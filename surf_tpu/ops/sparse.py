@@ -140,25 +140,37 @@ class DenseStorage:
     the price of materializing the dense volume (704^3 x 7ch bf16 = 4.9 GB
     — affordable at validation/bench; training keeps the sparse rows)."""
 
-    def __init__(self, flat, res, C, C_pad=None):
-        self.flat = flat          # (res**3 * C_pad,)
+    def __init__(self, flat, res, C, C_pad=None, dtype_name="float32"):
+        # 16-bit dtypes: ``flat`` is a (res^3 * C_pad / 2,) uint32 view
+        # (two channels per word); otherwise (res^3 * C_pad,) elements
+        self.flat = flat
         self.res = int(res)
         self.C = int(C)
         self.C_pad = int(C_pad if C_pad is not None else C)
+        self.dtype_name = str(dtype_name)
 
     def tree_flatten(self):
-        return (self.flat,), (self.res, self.C, self.C_pad)
+        return (self.flat,), (self.res, self.C, self.C_pad, self.dtype_name)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = cls.__new__(cls)
         obj.flat = children[0]
-        obj.res, obj.C, obj.C_pad = aux
+        obj.res, obj.C, obj.C_pad, obj.dtype_name = aux
         return obj
 
     @property
+    def packed(self):
+        return self.flat.dtype == jnp.uint32 and \
+            jnp.dtype(self.dtype_name) != jnp.uint32
+
+    @property
     def vol(self):
-        v = self.flat.reshape(self.res, self.res, self.res, self.C_pad)
+        flat = self.flat
+        if self.packed:
+            flat = jax.lax.bitcast_convert_type(
+                flat, jnp.dtype(self.dtype_name)).reshape(-1)
+        v = flat.reshape(self.res, self.res, self.res, self.C_pad)
         return v[..., :self.C]
 
 
@@ -176,11 +188,11 @@ def densify_storage(grid: VoxelGrid, storage, dtype=jnp.bfloat16):
     dt = jnp.dtype(dtype or storage.dtype)
     C = storage.shape[-1]
     C_pad = C + (C % 2) if dt.itemsize == 2 else C
-    if dt.itemsize == 4:
+    if dt.itemsize != 2:
         assert grid.res ** 3 * C_pad < 2 ** 31, \
             "f32 dense volume too large for int32 flat indexing; use bf16"
     flat = _densify_jit(grid, storage, dt, C_pad)
-    return DenseStorage(flat, grid.res, C, C_pad)
+    return DenseStorage(flat, grid.res, C, C_pad, dt.name)
 
 
 from functools import partial as _partial
@@ -188,21 +200,39 @@ from functools import partial as _partial
 
 @_partial(jax.jit, static_argnums=(2, 3))
 def _densify_jit(grid, storage, dtype, C_pad):
+    """Scatter voxel rows into the 1-D volume.  All other arrangements
+    lose: a 2-D (n3, C) scatter output pads C to the 128-lane tile (an
+    89 GB copy at 704^3), a 4-D scatter lays out channel-planar and the
+    reshape to 1-D transposes through the same padded form.  In uint32
+    units (two 16-bit channels per word) the row slices stay contiguous,
+    start indices fit int32, and a 1-D sliced lax.scatter writes rows
+    with no layout change at all."""
     res = grid.res
     C = storage.shape[-1]
     n3 = res ** 3
     cc = grid.child_coords()
+    row = (cc[:, 0] * res + cc[:, 1]) * res + cc[:, 2]
+    row = jnp.where(grid.cvalid, row, n3)  # OOB -> dropped
     vals = storage.astype(dtype)
     if C_pad != C:
         vals = jnp.concatenate(
             [vals, jnp.zeros((vals.shape[0], C_pad - C), dtype)], axis=-1)
-    # scatter in 4-D: its tiled layout {2,1,0,3} stays compact, whereas a
-    # 2-D (n3, C) scatter output pads C to the 128-lane tile (89 GB at
-    # 704^3).  The reshape to 1-D relayouts once inside this jit.
-    x = jnp.where(grid.cvalid, cc[:, 0], res)  # OOB -> dropped
-    vol4 = jnp.zeros((res, res, res, C_pad), dtype=dtype)
-    vol4 = vol4.at[x, cc[:, 1], cc[:, 2]].set(vals, mode="drop")
-    return vol4.reshape(-1)
+    dn = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(1,), inserted_window_dims=(),
+        scatter_dims_to_operand_dims=(0,))
+    if dtype.itemsize == 2:
+        w = C_pad // 2
+        upd = jax.lax.bitcast_convert_type(
+            vals.reshape(-1, w, 2), jnp.uint32)
+        operand = jnp.zeros((n3 * w,), jnp.uint32)
+    else:
+        w = C_pad
+        upd = vals
+        operand = jnp.zeros((n3 * w,), dtype)
+    starts = (row * w)[:, None].astype(jnp.int32)
+    return jax.lax.scatter(
+        operand, starts, upd, dn,
+        mode=jax.lax.GatherScatterMode.FILL_OR_DROP)
 
 
 def sparse_trilinear(grid: VoxelGrid, storage, pts):
@@ -325,28 +355,28 @@ def occupancy_lookup(ov: OccupancyVolume, pts):
                    ].reshape(inside.shape) & inside
 
 
-def _gather_z_pairs(flat1d, row_starts, C):
+def _gather_z_pairs(flat1d, row_starts, C, out_dtype=None):
     """Gather the 2C contiguous values of voxel rows (start, start+1) from
-    a 1-D (n3*C,) volume in ONE sliced gather per element.  Returns
-    (n, 2C) = [row z0 channels | row z0+1 channels].  CLIP mode clamps the
-    start so the slice fits (callers pre-clip z to res-2 and adjust the z
-    fraction instead).
+    a 1-D volume in ONE sliced gather per element.  Returns (n, 2C) =
+    [row z0 channels | row z0+1 channels].  CLIP mode clamps the start so
+    the slice fits (callers pre-clip z to res-2 and adjust the z fraction
+    instead).
 
-    16-bit dtypes with even C gather in uint32-bitcast units so start
-    indices stay int32 (flat-element counts at 704^3 x 7ch exceed int32;
-    uint32 gather indices crash the TPU compiler)."""
+    When ``flat1d`` is a packed uint32 view of a 16-bit volume (two
+    channels per word — see DenseStorage), the gather runs in word units
+    so start indices stay int32 (flat-element counts at 704^3 x 7ch
+    exceed int32; uint32 gather indices crash the TPU compiler) and the
+    output is bitcast back to ``out_dtype``."""
     dn = jax.lax.GatherDimensionNumbers(
         offset_dims=(1,), collapsed_slice_dims=(),
         start_index_map=(0,))
-    dt = flat1d.dtype
-    if dt.itemsize == 2 and C % 2 == 0:
-        u32 = jax.lax.bitcast_convert_type(
-            flat1d.reshape(-1, 2), jnp.uint32)
-        starts = (row_starts * (C // 2))[:, None].astype(jnp.int32)
-        out = jax.lax.gather(u32, starts, dn, slice_sizes=(C,),
+    if flat1d.dtype == jnp.uint32 and out_dtype is not None:
+        w = C // 2
+        starts = (row_starts * w)[:, None].astype(jnp.int32)
+        out = jax.lax.gather(flat1d, starts, dn, slice_sizes=(2 * w,),
                              mode=jax.lax.GatherScatterMode.CLIP)
-        pairs = jax.lax.bitcast_convert_type(out, dt)   # (n, C, 2)
-        return pairs.reshape(-1, 2 * C)
+        pairs = jax.lax.bitcast_convert_type(out, jnp.dtype(out_dtype))
+        return pairs.reshape(-1, 2 * C)                 # (n, 2C)
     starts = (row_starts * C)[:, None].astype(jnp.int32)
     return jax.lax.gather(
         flat1d, starts, dn, slice_sizes=(2 * C,),
@@ -383,7 +413,8 @@ def dense_trilinear_paired(storage: "DenseStorage", pts):
         cx = jnp.clip(c0i[:, 0] + ox, 0, res - 1)
         cy = jnp.clip(c0i[:, 1] + oy, 0, res - 1)
         starts = (cx * res + cy) * res + z0
-        pair = _gather_z_pairs(flat, starts, Cp)       # (n, 2*Cp)
+        pair = _gather_z_pairs(flat, starts, Cp,
+                               out_dtype=storage.dtype_name)  # (n, 2*Cp)
         vals = pair[:, :C] * gz[:, None] \
             + pair[:, Cp:Cp + C] * fz[:, None]
         w = (fx if ox else gx) * (fy if oy else gy)
