@@ -119,42 +119,27 @@ def trilinear_sample_3d(volume, coords, *, normalized=True, align_corners=True):
     y0 = jnp.floor(y)
     z0 = jnp.floor(z)
     fx, fy, fz = x - x0, y - y0, z - z0
-    gx, gy = 1.0 - fx, 1.0 - fy
+    gx, gy, gz = 1.0 - fx, 1.0 - fy, 1.0 - fz
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
     z0i = z0.astype(jnp.int32)
 
-    flat = volume.reshape(-1)
-
-    # Corners UNROLLED over (x, y) — stacked (..., 8, C) intermediates force
-    # the 8/C axes onto the 128-lane dim (16x padding + multi-GB AD temps).
-    # The two z-corners are ADJACENT in memory (z-minor), so one sliced
-    # gather (slice_sizes=(2, C)) fetches both: 4 gathers/point instead of 8.
-    # Zero-outside semantics at the z borders via weight shifting: the pair
-    # is read at z0c=clip(z0, 0, Z-2); when z0 == Z-1 (shift +1) the lower
-    # corner's weight applies to pair slot 1, when z0 == -1 (shift -1) the
-    # upper corner's weight applies to slot 0, farther out both are zero.
-    from .sparse import _gather_z_pairs
-    z0c = jnp.clip(z0i, 0, Z - 2)
-    shift = z0i - z0c
-    in0 = ((z0i >= 0) & (z0i < Z)).astype(volume.dtype)
-    in1 = ((z0i + 1 >= 0) & (z0i + 1 < Z)).astype(volume.dtype)
-    w0 = (1.0 - fz) * in0
-    w1 = fz * in1
-    a0 = jnp.where(shift == 0, w0, jnp.where(shift == -1, w1, 0.0))
-    a1 = jnp.where(shift == 0, w1, jnp.where(shift == 1, w0, 0.0))
-
-    shape = x.shape
+    flat = volume.reshape(X * Y * Z, C)
+    # corners UNROLLED: stacked (..., 8, C) intermediates force the 8/C axes
+    # onto the 128-lane dim (16x padding and multi-GB AD temporaries); per-
+    # corner (..., C)/(...,) arrays lay out compactly.  (A sliced z-pair
+    # gather halves the gather count on paper but TPU lowers sliced gathers
+    # ~15x slower than element gathers — measured, do not reintroduce.)
     out = None
-    for k in range(4):
-        ox, oy = (k >> 1) & 1, k & 1
-        cx, cy = x0i + ox, y0i + oy
-        valid = (cx >= 0) & (cx < X) & (cy >= 0) & (cy < Y)
-        starts = (jnp.clip(cx, 0, X - 1) * Y + jnp.clip(cy, 0, Y - 1)) * Z + z0c
-        pair = _gather_z_pairs(flat, starts.reshape(-1), C)     # (n, 2C)
-        vals = (pair[:, :C] * a0.reshape(-1)[:, None]
-                + pair[:, C:] * a1.reshape(-1)[:, None]).reshape(*shape, C)
-        w = (fx if ox else gx) * (fy if oy else gy)
+    for k in range(8):
+        ox, oy, oz = (k >> 2) & 1, (k >> 1) & 1, k & 1
+        cx, cy, cz = x0i + ox, y0i + oy, z0i + oz
+        valid = (cx >= 0) & (cx < X) & (cy >= 0) & (cy < Y) & \
+                (cz >= 0) & (cz < Z)
+        idx = (jnp.clip(cx, 0, X - 1) * Y + jnp.clip(cy, 0, Y - 1)) * Z + \
+            jnp.clip(cz, 0, Z - 1)
+        vals = flat[idx.reshape(-1)].reshape(*idx.shape, C)
+        w = (fx if ox else gx) * (fy if oy else gy) * (fz if oz else gz)
         w = w * valid.astype(volume.dtype)
         term = vals * w[..., None]
         out = term if out is None else out + term

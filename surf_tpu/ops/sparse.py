@@ -122,117 +122,114 @@ def gather_feats(storage, rows, valid):
 @jax.tree_util.register_pytree_node_class
 class DenseStorage:
     """Render-path alternative to the (P*8, C) row storage: the same
-    features scattered into a direct-indexed 1-D volume of length
-    res^3 * C, ordered (x, y, z, channel) — i.e. voxel rows of C channels,
-    z-minor (zeros at inactive voxels).  ``res``/``C`` ride the pytree aux
-    data as Python ints.
+    features scattered into a direct-indexed CHANNEL-MAJOR (C, res^3)
+    volume (zeros at inactive voxels; ``res`` rides the pytree aux data).
 
-    Why 1-D: every 2-D arrangement of a (huge, tiny-C) array either pads
-    the C axis to the 128-lane tile (18x memory — an 89 GB scatter copy at
-    704^3) or goes channel-major, which the row gathers then copy back.
-    1-D arrays tile linearly with no padding, and one sliced gather of
-    2C contiguous elements fetches BOTH z-corners of a stencil column.
+    Why channel-major: XLA's TPU gather kernel prefers the operand with
+    the gathered axis minor and the offset window major — row-major
+    (n3, C) operands get copied to exactly this form inside the graph
+    (a 5.2 GB copy at 704^3), and any (n3, C<128) scatter OUTPUT pads C
+    to the 128-lane tile (89 GB).  (C, n3) has compact default layouts
+    for both the scatter and the gather, with no channel padding.
 
     The two-level sparse lookup costs 2 DEPENDENT gathers per corner
-    (parent-table row, then storage row) — measured as the dominant term of
-    the whole render at the 704^3 protocol (611 of 782 ms).  Direct
+    (parent-table row, then storage row) — measured as the dominant term
+    of the whole render at the 704^3 protocol (611 of 782 ms).  Direct
     indexing halves the gather count and breaks the dependency chain, at
-    the price of materializing the dense volume (704^3 x 7ch bf16 = 4.9 GB
-    — affordable at validation/bench; training keeps the sparse rows)."""
+    the price of materializing the dense volume (704^3 x 7ch bf16 =
+    4.9 GB — affordable at validation/bench; training keeps the sparse
+    rows)."""
 
-    def __init__(self, flat, res, C, C_pad=None, dtype_name="float32"):
-        # 16-bit dtypes: ``flat`` is a (res^3 * C_pad / 2,) uint32 view
-        # (two channels per word); otherwise (res^3 * C_pad,) elements
-        self.flat = flat
+    def __init__(self, flat, res):
+        self.flat = flat          # (C, res**3)
         self.res = int(res)
-        self.C = int(C)
-        self.C_pad = int(C_pad if C_pad is not None else C)
-        self.dtype_name = str(dtype_name)
 
     def tree_flatten(self):
-        return (self.flat,), (self.res, self.C, self.C_pad, self.dtype_name)
+        return (self.flat,), self.res
 
     @classmethod
-    def tree_unflatten(cls, aux, children):
+    def tree_unflatten(cls, res, children):
         obj = cls.__new__(cls)
         obj.flat = children[0]
-        obj.res, obj.C, obj.C_pad, obj.dtype_name = aux
+        obj.res = res
         return obj
 
     @property
-    def packed(self):
-        return self.flat.dtype == jnp.uint32 and \
-            jnp.dtype(self.dtype_name) != jnp.uint32
+    def C(self):
+        return self.flat.shape[0]
 
     @property
     def vol(self):
-        flat = self.flat
-        if self.packed:
-            flat = jax.lax.bitcast_convert_type(
-                flat, jnp.dtype(self.dtype_name)).reshape(-1)
-        v = flat.reshape(self.res, self.res, self.res, self.C_pad)
-        return v[..., :self.C]
+        C = self.flat.shape[0]
+        r = self.res
+        return jnp.moveaxis(self.flat.reshape(C, r, r, r), 0, -1)
 
 
 def densify_storage(grid: VoxelGrid, storage, dtype=jnp.bfloat16):
     """(P*8, C) rows -> DenseStorage for fast render-path lookups.
     Differentiable (scatter transpose routes gradients back to the rows).
 
-    Jitted internally: called eagerly, the zeros init and the scatter would
-    be separate dispatches and the 704^3 volume would exist TWICE (9.8 GB
-    transient); one jit graph scatters in place.
-
-    For 16-bit dtypes the channel count is padded to even so gathers can
-    run in uint32-bitcast units — flat-element indices at 704^3 x 7ch
-    overflow int32, and uint32 indices crash the TPU compiler."""
+    Jitted internally: called eagerly, the zeros init and the scatter
+    would be separate dispatches and the 704^3 volume would exist TWICE
+    (9.8 GB transient); one jit graph scatters in place."""
     dt = jnp.dtype(dtype or storage.dtype)
-    C = storage.shape[-1]
-    C_pad = C + (C % 2) if dt.itemsize == 2 else C
-    if dt.itemsize != 2:
-        assert grid.res ** 3 * C_pad < 2 ** 31, \
-            "f32 dense volume too large for int32 flat indexing; use bf16"
-    flat = _densify_jit(grid, storage, dt, C_pad)
-    return DenseStorage(flat, grid.res, C, C_pad, dt.name)
+    return DenseStorage(_densify_jit(grid, storage, dt), grid.res)
 
 
 from functools import partial as _partial
 
 
-@_partial(jax.jit, static_argnums=(2, 3))
-def _densify_jit(grid, storage, dtype, C_pad):
-    """Scatter voxel rows into the 1-D volume.  All other arrangements
-    lose: a 2-D (n3, C) scatter output pads C to the 128-lane tile (an
-    89 GB copy at 704^3), a 4-D scatter lays out channel-planar and the
-    reshape to 1-D transposes through the same padded form.  In uint32
-    units (two 16-bit channels per word) the row slices stay contiguous,
-    start indices fit int32, and a 1-D sliced lax.scatter writes rows
-    with no layout change at all."""
+@_partial(jax.jit, static_argnums=(2,))
+def _densify_jit(grid, storage, dtype):
     res = grid.res
-    C = storage.shape[-1]
     n3 = res ** 3
     cc = grid.child_coords()
-    row = (cc[:, 0] * res + cc[:, 1]) * res + cc[:, 2]
-    row = jnp.where(grid.cvalid, row, n3)  # OOB -> dropped
-    vals = storage.astype(dtype)
-    if C_pad != C:
-        vals = jnp.concatenate(
-            [vals, jnp.zeros((vals.shape[0], C_pad - C), dtype)], axis=-1)
-    dn = jax.lax.ScatterDimensionNumbers(
-        update_window_dims=(1,), inserted_window_dims=(),
-        scatter_dims_to_operand_dims=(0,))
-    if dtype.itemsize == 2:
-        w = C_pad // 2
-        upd = jax.lax.bitcast_convert_type(
-            vals.reshape(-1, w, 2), jnp.uint32)
-        operand = jnp.zeros((n3 * w,), jnp.uint32)
-    else:
-        w = C_pad
-        upd = vals
-        operand = jnp.zeros((n3 * w,), dtype)
-    starts = (row * w)[:, None].astype(jnp.int32)
-    return jax.lax.scatter(
-        operand, starts, upd, dn,
-        mode=jax.lax.GatherScatterMode.FILL_OR_DROP)
+    col = (cc[:, 0] * res + cc[:, 1]) * res + cc[:, 2]
+    col = jnp.where(grid.cvalid, col, n3)  # OOB -> dropped
+    flat = jnp.zeros((storage.shape[-1], n3), dtype=dtype)
+    return flat.at[:, col].set(storage.astype(dtype).T, mode="drop")
+
+
+def _gather_columns(flat, idx):
+    """flat (C, M); idx (n,) -> (n, C) — the gathered axis minor, the
+    channel window major: XLA's native TPU gather form."""
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(1,),
+        start_index_map=(1,))
+    out = jax.lax.gather(
+        flat, idx[:, None].astype(jnp.int32), dn,
+        slice_sizes=(flat.shape[0], 1),
+        mode=jax.lax.GatherScatterMode.CLIP)
+    return out
+
+
+def dense_trilinear(storage: "DenseStorage", pts):
+    """Trilinear lookup into a DenseStorage volume: one independent
+    column gather per corner (clamped border semantics, matching the
+    sparse path).  pts (..., 3) -> (..., C)."""
+    res = storage.res
+    flat = storage.flat
+    C = flat.shape[0]
+    shape = pts.shape[:-1]
+    p = pts.reshape(-1, 3)
+    coords = (p + 1.0) * 0.5 * (res - 1)
+    c0 = jnp.floor(coords)
+    frac = coords - c0
+    c0i = c0.astype(jnp.int32)
+    fx, fy, fz = frac[:, 0], frac[:, 1], frac[:, 2]
+    gx, gy, gz = 1.0 - fx, 1.0 - fy, 1.0 - fz
+
+    out = None
+    for k in range(8):
+        ox, oy, oz = (k >> 2) & 1, (k >> 1) & 1, k & 1
+        cx = jnp.clip(c0i[:, 0] + ox, 0, res - 1)
+        cy = jnp.clip(c0i[:, 1] + oy, 0, res - 1)
+        cz = jnp.clip(c0i[:, 2] + oz, 0, res - 1)
+        vals = _gather_columns(flat, (cx * res + cy) * res + cz)
+        w = (fx if ox else gx) * (fy if oy else gy) * (fz if oz else gz)
+        term = vals * w[:, None]
+        out = term if out is None else out + term
+    return out.reshape(*shape, C)
 
 
 def sparse_trilinear(grid: VoxelGrid, storage, pts):
@@ -264,9 +261,9 @@ def sparse_trilinear(grid: VoxelGrid, storage, pts):
     gx, gy, gz = 1.0 - fx, 1.0 - fy, 1.0 - fz
 
     if isinstance(storage, DenseStorage):
-        # inactive voxels hold zero rows — same semantics as the valid-gated
-        # sparse gather, with one independent PAIRED gather per (x,y) corner
-        return dense_trilinear_paired(storage, pts)
+        # inactive voxels hold zero columns — same semantics as the
+        # valid-gated sparse gather, in one independent gather per corner
+        return dense_trilinear(storage, pts)
 
     out = None
     for k in range(8):

@@ -203,15 +203,15 @@ def test_combined_occupancy_exact():
     np.testing.assert_array_equal(out, ref)
 
 
-def test_dense_trilinear_paired_matches():
-    """The half-gather z-paired lookup == the unrolled DenseStorage branch,
-    including clamped borders and out-of-range points."""
+def test_dense_trilinear_oor_and_grads():
+    """The channel-major dense lookup handles clamped borders and
+    out-of-range points like the sparse path, and is differentiable."""
     grid, storage = random_grid(res=16, p_keep=0.5)
     dense = sp.densify_storage(grid, storage, dtype=None)
     pts = jnp.asarray(RNG.uniform(-1.3, 1.3, (800, 3)).astype(np.float32))
-    ref = np.asarray(sp.sparse_trilinear(grid, dense, pts))
-    out = np.asarray(sp.dense_trilinear_paired(dense, pts))
+    ref = np.asarray(sp.sparse_trilinear(grid, storage, pts))
+    out = np.asarray(sp.dense_trilinear(dense, pts))
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
     # differentiable w.r.t. pts (the render takes grads through lookups)
-    g = jax.grad(lambda p: sp.dense_trilinear_paired(dense, p).sum())(pts)
+    g = jax.grad(lambda p: sp.dense_trilinear(dense, p).sum())(pts)
     assert np.all(np.isfinite(np.asarray(g)))
