@@ -52,9 +52,12 @@ def init(key, conf):
         # sampling when validating converted checkpoints)
         "fused_pyramid": conf.get_bool("render.fused_pyramid", default=True),
         # point-chunk size for the fused SDF value+gradients pass (bounds
-        # the batch AD residuals; see sdf_net.value_features_grads)
+        # the batch AD residuals; see sdf_net.value_features_grads).  With
+        # channel-major dense lookups the unchunked graph overlaps phases
+        # better (413 vs 467 ms at the full protocol) — chunk only beyond
+        # 1M points
         "sdf_point_chunk": conf.get_int("render.sdf_point_chunk",
-                                        default=131072),
+                                        default=1048576),
     }
     return params, static
 

@@ -124,6 +124,7 @@ def main():
             sample_ranges = [{", ".join(str(r) for r in ratios)}]
             n_depth = 256
             perturb = 1.0
+            sdf_point_chunk = {os.environ.get("PROF_SDF_CHUNK", 131072)}
         }}
     }}
     """)
