@@ -352,74 +352,6 @@ def occupancy_lookup(ov: OccupancyVolume, pts):
                    ].reshape(inside.shape) & inside
 
 
-def _gather_z_pairs(flat1d, row_starts, C, out_dtype=None):
-    """Gather the 2C contiguous values of voxel rows (start, start+1) from
-    a 1-D volume in ONE sliced gather per element.  Returns (n, 2C) =
-    [row z0 channels | row z0+1 channels].  CLIP mode clamps the start so
-    the slice fits (callers pre-clip z to res-2 and adjust the z fraction
-    instead).
-
-    When ``flat1d`` is a packed uint32 view of a 16-bit volume (two
-    channels per word — see DenseStorage), the gather runs in word units
-    so start indices stay int32 (flat-element counts at 704^3 x 7ch
-    exceed int32; uint32 gather indices crash the TPU compiler) and the
-    output is bitcast back to ``out_dtype``."""
-    dn = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1,), collapsed_slice_dims=(),
-        start_index_map=(0,))
-    if flat1d.dtype == jnp.uint32 and out_dtype is not None:
-        w = C // 2
-        starts = (row_starts * w)[:, None].astype(jnp.int32)
-        out = jax.lax.gather(flat1d, starts, dn, slice_sizes=(2 * w,),
-                             mode=jax.lax.GatherScatterMode.CLIP)
-        pairs = jax.lax.bitcast_convert_type(out, jnp.dtype(out_dtype))
-        return pairs.reshape(-1, 2 * C)                 # (n, 2C)
-    starts = (row_starts * C)[:, None].astype(jnp.int32)
-    return jax.lax.gather(
-        flat1d, starts, dn, slice_sizes=(2 * C,),
-        mode=jax.lax.GatherScatterMode.CLIP)
-
-
-def dense_trilinear_paired(storage: "DenseStorage", pts):
-    """Trilinear lookup into a DenseStorage volume with HALF the gathers:
-    the two z-corners of each (x, y) corner pair are adjacent in memory
-    (z-minor layout), so one sliced gather fetches both.
-
-    Clamped border semantics (matching the sparse path): for z0 clipped to
-    res-2, the z fraction is re-derived as clip(z - z0', 0, 1), which
-    reproduces the clamp at both volume ends.  pts (..., 3) -> (..., C)."""
-    res = storage.res
-    flat = storage.flat
-    C = storage.C
-    Cp = storage.C_pad
-    shape = pts.shape[:-1]
-    p = pts.reshape(-1, 3)
-    coords = (p + 1.0) * 0.5 * (res - 1)
-    c0 = jnp.floor(coords)
-    c0i = c0.astype(jnp.int32)
-    fx, fy = coords[:, 0] - c0[:, 0], coords[:, 1] - c0[:, 1]
-    gx, gy = 1.0 - fx, 1.0 - fy
-
-    z0 = jnp.clip(c0i[:, 2], 0, res - 2)
-    fz = jnp.clip(coords[:, 2] - z0.astype(coords.dtype), 0.0, 1.0)
-    gz = 1.0 - fz
-
-    out = None
-    for k in range(4):
-        ox, oy = (k >> 1) & 1, k & 1
-        cx = jnp.clip(c0i[:, 0] + ox, 0, res - 1)
-        cy = jnp.clip(c0i[:, 1] + oy, 0, res - 1)
-        starts = (cx * res + cy) * res + z0
-        pair = _gather_z_pairs(flat, starts, Cp,
-                               out_dtype=storage.dtype_name)  # (n, 2*Cp)
-        vals = pair[:, :C] * gz[:, None] \
-            + pair[:, Cp:Cp + C] * fz[:, None]
-        w = (fx if ox else gx) * (fy if oy else gy)
-        term = vals * w[:, None]
-        out = term if out is None else out + term
-    return out.reshape(*shape, C)
-
-
 def occupancy_nearest(grid: VoxelGrid, pts, *, align_corners=False):
     """Nearest-voxel occupancy test at world points in [-1,1]^3.
 
