@@ -76,6 +76,8 @@ def bench(label, fn, *args, iters=5):
 
 def main():
     n_rays = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    img_hw = tuple(int(x) for x in
+                   os.environ.get("PROF_IMG", "288x400").split("x"))
     base_dim = int(os.environ.get("PROF_BASE_DIM", 88))
     n_stages = int(os.environ.get("PROF_STAGES", 4))
     mdtype = os.environ.get("PROF_MATCH_DTYPE", "bfloat16")
@@ -88,7 +90,7 @@ def main():
     conf = ConfigFactory.parse_string(f"""
     ds {{
         num_src_view = 2
-        img_hw = [288, 400]
+        img_hw = [{img_hw[0]}, {img_hw[1]}]
         n_rays = {n_rays}
         n_scenes = 1
         n_views_total = 6
@@ -175,7 +177,7 @@ def main():
 
     dev = jax.devices()[0].device_kind
     print(f"# device={dev} rays={n_rays} samples/ray={ns_total} "
-          f"fine_res={res_fine} match_dtype={mdtype}")
+          f"fine_res={res_fine} match_dtype={mdtype} img={img_hw}")
 
     # ---- full render ----
     @jax.jit
