@@ -143,22 +143,27 @@ def main():
     feats_ff = [f for f in features][::-1]
     warp_feats = jax.jit(implicit_surface.prepare_patch_features)(
         feats_ff, feats_ff, 2.0)
+    from surf_tpu.ops.feature_lookup import fuse_pyramid
+    fused_colors = jax.jit(fuse_pyramid)(batch["imgs"], feats_ff)
 
     # NB: pass volumes/features as ARGUMENTS — closing over multi-hundred-MB
     # device arrays embeds them in the serialized HLO (blows compile limits)
     @jax.jit
     def render_fn(params, key, rays_o, rays_d, near, far, matching_volume,
-                  stages_ff, feats_ff, warp_feats, imgs, intrs, c2ws, occ):
+                  stages_ff, feats_ff, warp_feats, imgs, intrs, c2ws, occ,
+                  fused_colors):
         return implicit_surface.render(
             key, params["implicit_surface"], static["implicit_surface"],
             rays_o, rays_d, near, far, matching_volume, stages_ff,
             feats_ff, feats_ff, imgs, intrs, c2ws,
-            1.0, 2.0, warp_feats=warp_feats, occ=occ)["color_fine"]
+            1.0, 2.0, warp_feats=warp_feats, occ=occ,
+            fused_colors=fused_colors)["color_fine"]
 
     def render(params, key, rays_o, rays_d, near, far):
         return render_fn(params, key, rays_o, rays_d, near, far,
                          matching_volume, stages_ff, feats_ff, warp_feats,
-                         batch["imgs"], batch["intrs"], batch["c2ws"], occ)
+                         batch["imgs"], batch["intrs"], batch["c2ws"], occ,
+                         fused_colors)
 
     rays_o = batch["rays_o"][:n_rays]
     rays_d = batch["rays_d"][:n_rays]

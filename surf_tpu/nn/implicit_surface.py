@@ -311,14 +311,17 @@ def render_core(key, params, static, rays_o, rays_d, z_vals, sample_dist,
 
 def render(key, params, static, rays_o, rays_d, near, far, matching_volume,
            stages, features, match_features, imgs, intrs, c2ws,
-           cos_anneal_ratio=1.0, step=None, warp_feats=None, occ=None):
+           cos_anneal_ratio=1.0, step=None, warp_feats=None, occ=None,
+           fused_colors=None):
     if near.shape[0] == 1:
         near = jnp.broadcast_to(near, (rays_o.shape[0], 1))
         far = jnp.broadcast_to(far, (rays_o.shape[0], 1))
     if warp_feats is None:
         warp_feats = prepare_patch_features(features, match_features, step)
-    fused_colors = None
-    if static.get("fused_pyramid", False):
+    if fused_colors is None and static.get("fused_pyramid", False):
+        # per-scene work — callers rendering many chunks should precompute
+        # via fuse_pyramid() once (at 576x800 this is ~200 MB of resize+
+        # concat per call otherwise)
         fused_colors = fuse_pyramid(imgs, features)
     k_z, k_core = jax.random.split(key)
     sample_dist = 2.0 / static["n_samples"][0]

@@ -399,12 +399,13 @@ class Runner:
             @jax.jit
             def render_chunk(params, key, rays_o, rays_d, near, far,
                              matching_volume, stages, warp_feats, features,
-                             imgs, intrs, c2ws, occ):
+                             imgs, intrs, c2ws, occ, fused_colors):
                 return implicit_surface.render(
                     key, params["implicit_surface"], static["implicit_surface"],
                     rays_o, rays_d, near, far, matching_volume, stages,
                     features, None, imgs, intrs, c2ws, 1.0, None,
-                    warp_feats=warp_feats, occ=occ)
+                    warp_feats=warp_feats, occ=occ,
+                    fused_colors=fused_colors)
 
             self._jit_cache["render_chunk"] = render_chunk
         return self._jit_cache["render_chunk"]
@@ -419,8 +420,13 @@ class Runner:
     def render_full_image(self, params, key, ipts, stages, matching_volume,
                           features, match_features, occ=None):
         render = self._render_chunk_jit()
-        # per-scene patch features computed once, not per ray chunk
+        # per-scene patch features + fused color pyramid computed once,
+        # not per ray chunk
         warp_feats = implicit_surface.prepare_patch_features(features, None, None)
+        fused_colors = None
+        if self.static["implicit_surface"].get("fused_pyramid", False):
+            from .ops.feature_lookup import fuse_pyramid
+            fused_colors = jax.jit(fuse_pyramid)(ipts["imgs"], features)
         rays_o = np.asarray(ipts["rays_o"])
         rays_d = np.asarray(ipts["rays_d"])
         n = len(rays_o)
@@ -442,7 +448,8 @@ class Runner:
             r = render(params, k, jnp.asarray(ro), jnp.asarray(rd),
                        near_c, far_c,
                        matching_volume, stages, warp_feats, features,
-                       ipts["imgs"], ipts["intrs"], ipts["c2ws"], occ)
+                       ipts["imgs"], ipts["intrs"], ipts["c2ws"], occ,
+                       fused_colors)
             take = chunk - pad
             outs["color_fine"].append(np.asarray(r["color_fine"])[:take])
             # normals weighted inside sphere (implicit_surface.py:380-382)
