@@ -5,7 +5,9 @@ evaluates the SDF over a dense lattice in 64^3 chunks and runs marching
 cubes on -sdf.  Here, blocks of the lattice that no stage's active voxel
 set touches are skipped exactly (the occupancy mask pins their SDF to +100
 anyway — see ops/sparse.occupied_blocks_host), which typically avoids
-70-90% of the MLP work after end-to-end sparsification.
+70-90% of the MLP work after end-to-end sparsification.  Occupied blocks
+are evaluated several per device call: per-call dispatch latency (large
+over a remote-tunnel TPU) otherwise dominates the hundreds of 64^3 calls.
 """
 
 from __future__ import annotations
@@ -17,7 +19,8 @@ from .marching_cubes import marching_cubes
 from ..ops.sparse import occupied_blocks_host
 
 
-def extract_geometry(sdf_fn, params, stages, resolution, block=64, occ=None):
+def extract_geometry(sdf_fn, params, stages, resolution, block=64, occ=None,
+                     blocks_per_call=8):
     """sdf_fn(params, stages, occ, pts (m,3)) -> (m,) SDF values (jitted by
     the caller; ``occ`` may be None or an ops.sparse.OccupancyVolume for
     single-gather visibility).  Returns (verts [-1,1]-frame, tris, u)."""
@@ -28,24 +31,39 @@ def extract_geometry(sdf_fn, params, stages, resolution, block=64, occ=None):
 
     lin = np.linspace(-1, 1, R, dtype=np.float32)
     u = np.full((R, R, R), 100.0, np.float32)
-    for bx in range(nb):
-        for by in range(nb):
-            for bz in range(nb):
-                if not blocks[bx, by, bz]:
-                    continue
-                sx = slice(bx * B, min((bx + 1) * B, R))
-                sy = slice(by * B, min((by + 1) * B, R))
-                sz = slice(bz * B, min((bz + 1) * B, R))
-                xs, ys, zs = np.meshgrid(lin[sx], lin[sy], lin[sz],
-                                         indexing="ij")
-                pts = np.stack([xs.reshape(-1), ys.reshape(-1),
-                                zs.reshape(-1)], -1)
-                shp = xs.shape
-                pad = B ** 3 - len(pts)
-                if pad > 0:
-                    pts = np.concatenate([pts, np.zeros((pad, 3), np.float32)])
-                vals = np.asarray(sdf_fn(params, stages, occ, jnp.asarray(pts)))
-                u[sx, sy, sz] = vals[:shp[0] * shp[1] * shp[2]].reshape(shp)
+
+    occupied = [(bx, by, bz)
+                for bx in range(nb) for by in range(nb) for bz in range(nb)
+                if blocks[bx, by, bz]]
+
+    def block_slices(b):
+        bx, by, bz = b
+        return (slice(bx * B, min((bx + 1) * B, R)),
+                slice(by * B, min((by + 1) * B, R)),
+                slice(bz * B, min((bz + 1) * B, R)))
+
+    call_pts = blocks_per_call * B ** 3  # static call shape
+    for s in range(0, len(occupied), blocks_per_call):
+        group = occupied[s:s + blocks_per_call]
+        pts_list, shapes = [], []
+        for b in group:
+            sx, sy, sz = block_slices(b)
+            xs, ys, zs = np.meshgrid(lin[sx], lin[sy], lin[sz], indexing="ij")
+            shapes.append(xs.shape)
+            pts_list.append(np.stack(
+                [xs.reshape(-1), ys.reshape(-1), zs.reshape(-1)], -1))
+        pts = np.concatenate(pts_list)
+        pad = call_pts - len(pts)
+        if pad > 0:
+            pts = np.concatenate([pts, np.zeros((pad, 3), np.float32)])
+        vals = np.asarray(sdf_fn(params, stages, occ, jnp.asarray(pts)))
+        off = 0
+        for b, shp in zip(group, shapes):
+            n = shp[0] * shp[1] * shp[2]
+            sx, sy, sz = block_slices(b)
+            u[sx, sy, sz] = vals[off:off + n].reshape(shp)
+            off += n
+
     verts, tris = marching_cubes(-u, 0.0)
     verts = verts / (R - 1.0) * 2.0 - 1.0
     return verts, tris, u

@@ -75,3 +75,34 @@ def test_clean_outside_frustum_drops_floater():
     # only first-hit faces from 3 sparse viewpoints survive — expect the
     # camera-facing portion of the sphere, not all of it
     assert len(out.faces) > n_orig * 0.15
+
+
+def test_extract_geometry_block_skip_exact():
+    """Block-skipped, batched-call extraction == dense evaluation of the
+    same (occupancy-pinned) SDF over the full lattice."""
+    import jax
+    import jax.numpy as jnp
+    from surf_tpu.ops import sparse as sp
+    from surf_tpu.geometry.extract import extract_geometry
+
+    # one occupied octant
+    parents = np.stack(np.meshgrid(*([np.arange(4)] * 3), indexing="ij"),
+                       -1).reshape(-1, 3).astype(np.int32)
+    grid = sp.make_grid(jnp.asarray(parents), jnp.ones(64, bool),
+                        jnp.ones(512, bool), 16)
+    stages = [(grid, None)]
+
+    def sdf_fn(params, stages_, occ, pts):
+        m = sp.occupancy_nearest(stages_[0][0], pts, align_corners=False)
+        s = jnp.linalg.norm(pts + 0.6, axis=-1) - 0.45
+        return jnp.where(m, s, 100.0)
+
+    R, B = 48, 16
+    verts, tris, u = extract_geometry(sdf_fn, None, stages, R, block=B,
+                                      blocks_per_call=3)
+    lin = np.linspace(-1, 1, R, dtype=np.float32)
+    xs, ys, zs = np.meshgrid(lin, lin, lin, indexing="ij")
+    pts = jnp.asarray(np.stack([xs.ravel(), ys.ravel(), zs.ravel()], -1))
+    u_ref = np.asarray(sdf_fn(None, stages, None, pts)).reshape(R, R, R)
+    np.testing.assert_allclose(u, u_ref, atol=1e-6)
+    assert len(verts) > 0  # the sphere surface is inside the occupied octant
