@@ -229,33 +229,23 @@ def upsample_trilinear_x2(volume):
     i+0.25, so out = interleave(0.75 v + 0.25 shift_down(v),
                                 0.75 v + 0.25 shift_up(v)) per axis.
     """
-    # three separable transposed 1-D convolutions with kernel
-    # [0.25, 0.75, 0.75, 0.25] on an edge-padded input — native XLA convs
-    # keep sane layouts at 704^3 (a stack/reshape interleave formulation made
-    # XLA pick a 128x-padded layout and OOM)
-    kern = jnp.array([0.25, 0.75, 0.75, 0.25], volume.dtype)
-
+    # Separable per-axis interleave with the target axis moved to the FRONT
+    # (major): the (X, 2, rest) stack intermediate keeps its large dims
+    # minor, so layouts stay compact — and the AD transpose is again just
+    # slicing+adds.  (The earlier conv_general_dilated formulation kept the
+    # forward compact but its BACKWARD materialized a 23 GB
+    # convolution_select_fusion temp at 352->704 during staged training;
+    # an axis-LAST interleave pads the trailing 2 to the 128-lane tile.)
     def up_axis(v, axis):
-        # bring target axis to position 1 of (N=1, X, rest..., C-collapsed)
         perm = [axis] + [a for a in range(v.ndim) if a != axis]
-        vt = jnp.transpose(v, perm)              # (X, ...)
+        vt = jnp.transpose(v, perm)                       # (X, rest...)
         X = vt.shape[0]
-        rest = int(np.prod(vt.shape[1:]))
-        x = vt.reshape(1, X, rest)               # NWC
-        x = jnp.concatenate([x[:, :1], x, x[:, -1:]], axis=1)  # edge pad 1
-        # depthwise: one shared 4-tap kernel per collapsed channel
-        w_dw = kern.reshape(4, 1, 1)
-        y = jax.lax.conv_general_dilated(
-            x, jnp.broadcast_to(w_dw, (4, 1, rest)),
-            window_strides=(1,), padding=[(1, 1)], lhs_dilation=(2,),
-            dimension_numbers=("NWC", "WIO", "NWC"),
-            feature_group_count=rest)
-        # dilated length 2(X+2)-1 = 2X+3; padded by 1 both sides -> 2X+5;
-        # valid conv with k=4 -> 2X+2; crop the two border outputs
-        y = y[:, 1:-1]
-        yt = y.reshape(2 * X, *vt.shape[1:])
-        inv = list(np.argsort(perm))
-        return jnp.transpose(yt, inv)
+        lo = jnp.concatenate([vt[:1], vt[:-1]], axis=0)   # in[i-1], edge
+        hi = jnp.concatenate([vt[1:], vt[-1:]], axis=0)   # in[i+1], edge
+        even = 0.75 * vt + 0.25 * lo
+        odd = 0.75 * vt + 0.25 * hi
+        y = jnp.stack([even, odd], axis=1).reshape(2 * X, *vt.shape[1:])
+        return jnp.transpose(y, list(np.argsort(perm)))
 
     out = volume
     for ax in range(3):
