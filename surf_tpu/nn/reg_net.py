@@ -241,11 +241,41 @@ def _scatter_parents_dense(grid, storage_p, pactive):
 
 def _down_conv_parent_to_dense(p, grid, storage_p, pactive, out_res):
     """Stride-2 conv parents -> dense (out_res^3): scatter the sparse parent
-    set into a dense (R/2)^3 volume and run one native XLA conv (a gather
+    set into a dense (R/2)^3 volume and run a native XLA conv (a gather
     formulation over a dense meshgrid bloats the graph enough to OOM the
-    compiler at fine stages)."""
+    compiler at fine stages).
+
+    Above 256^3 the conv is SLABBED along x with 1-row halos: the
+    unslabbed conv's BACKWARD materializes a blocked
+    convolution_select_fusion temp of ~23 GB at 352^3 during staged
+    training; per-slab temps are nslab x smaller and its adjoint is
+    slice-accumulation."""
     dense = _scatter_parents_dense(grid, storage_p, pactive)[None]
-    return conv3d_apply(p, dense, stride=2)[0]
+    if dense.shape[1] < 256:
+        return conv3d_apply(p, dense, stride=2)[0]
+    return conv3d_stride2_slabbed(p, dense, nslab=4)[0]
+
+
+def conv3d_stride2_slabbed(p, dense, nslab=4):
+    """Stride-2 k=3 conv, slabbed along x with 1-row halos; identical to
+    conv3d_apply(p, dense, stride=2)."""
+    R = dense.shape[1]
+    oR = R // 2
+    so = -(-oR // nslab)
+    outs = []
+    for i in range(nslab):
+        o0 = i * so
+        o1 = min((i + 1) * so, oR)
+        if o0 >= o1:
+            break
+        in0 = max(2 * o0 - 1, 0)
+        in1 = min(2 * (o1 - 1) + 2, R)
+        pad_lo = 1 if 2 * o0 - 1 < 0 else 0
+        pad_hi = 1 if 2 * (o1 - 1) + 1 >= R else 0
+        y = conv3d_apply(p, dense[:, in0:in1], stride=2,
+                         padding=[(pad_lo, pad_hi), (1, 1), (1, 1)])
+        outs.append(y)
+    return jnp.concatenate(outs, axis=1)
 
 
 def _up_conv_dense_to_parent(p, grid, dense):

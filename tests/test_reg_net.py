@@ -70,3 +70,21 @@ def test_inactive_rows_are_zero():
     out, mid, _ = reg_net.apply_dense(params, state, grid, feats, training=False)
     dead = ~np.asarray(grid.cvalid)
     np.testing.assert_allclose(np.asarray(mid)[dead], 0.0, atol=1e-6)
+
+
+def test_conv3d_stride2_slabbed_matches():
+    """The x-slabbed stride-2 conv == the monolithic one (training at fine
+    stages slabs to bound the conv-backward temporaries)."""
+    import jax
+    import jax.numpy as jnp
+    from surf_tpu.nn.core import conv3d_init, conv3d_apply
+    from surf_tpu.nn.reg_net import conv3d_stride2_slabbed
+
+    rng = np.random.RandomState(3)
+    p = conv3d_init(jax.random.PRNGKey(0), 5, 7, 3, bias=True)
+    x = jnp.asarray(rng.randn(1, 32, 20, 20, 5).astype(np.float32))
+    ref = conv3d_apply(p, x, stride=2)
+    for nslab in (3, 4, 5):
+        out = conv3d_stride2_slabbed(p, x, nslab=nslab)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
