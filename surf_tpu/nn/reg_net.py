@@ -227,16 +227,17 @@ def _down_conv_child_to_parent(p, grid, storage):
 
 
 def _scatter_parents_dense(grid, storage_p, pactive):
-    """Scatter parent rows into a dense (R/2)^3 volume (zeros elsewhere)."""
+    """Scatter parent rows into a dense (R/2)^3 volume (zeros elsewhere).
+
+    4-D index scatter: a flat (n3, C) scatter's output copy pads C to the
+    128-lane tile (22 GB at 352^3 x 16ch in the stage-3 training
+    backward); the 4-D form keeps the compact {2,1,0,3} layout."""
     half = grid.res // 2
-    n3 = half ** 3
     pc = jnp.clip(grid.parents, 0, half - 1)
-    idx = (pc[:, 0] * half + pc[:, 1]) * half + pc[:, 2]
-    idx = jnp.where(pactive, idx, n3)
-    flat = jnp.zeros((n3 + 1, storage_p.shape[-1]), storage_p.dtype)
-    flat = flat.at[idx].set(storage_p * pactive[:, None].astype(storage_p.dtype),
-                            mode="drop")
-    return flat[:n3].reshape(half, half, half, -1)
+    x = jnp.where(pactive, pc[:, 0], half)  # OOB -> dropped
+    vol = jnp.zeros((half, half, half, storage_p.shape[-1]), storage_p.dtype)
+    return vol.at[x, pc[:, 1], pc[:, 2]].set(
+        storage_p * pactive[:, None].astype(storage_p.dtype), mode="drop")
 
 
 def _down_conv_parent_to_dense(p, grid, storage_p, pactive, out_res):

@@ -382,19 +382,17 @@ def scatter_to_dense(grid: VoxelGrid, values, *, background=None):
     """
     res = grid.res
     C = values.shape[-1]
-    n3 = res ** 3
     cc = grid.child_coords()
-    idx = (cc[:, 0] * res + cc[:, 1]) * res + cc[:, 2]
-    # invalid children scatter out of bounds and are DROPPED — no dump-slot
-    # row, so no (n3+1)->(n3) slice copy (at 704^3 that copy is 4.9 GB and
-    # doubles the peak)
-    idx = jnp.where(grid.cvalid, idx, n3)
+    # 4-D index scatter with invalid children pushed out of bounds
+    # (dropped): flat (n3, C) scatter outputs get copied to a lane-padded
+    # layout in AD contexts (up to 8-16x memory at fine stages)
+    x = jnp.where(grid.cvalid, cc[:, 0], res)
     if background is None:
-        flat = jnp.zeros((n3, C), dtype=values.dtype)
+        vol = jnp.zeros((res, res, res, C), dtype=values.dtype)
     else:
-        flat = background.reshape(n3, C)
-    flat = flat.at[idx].set(values.reshape(-1, C), mode="drop")
-    return flat.reshape(res, res, res, C)
+        vol = background
+    return vol.at[x, cc[:, 1], cc[:, 2]].set(
+        values.reshape(-1, C), mode="drop")
 
 
 def compact_parents(scores, pvalid, capacity: int):
