@@ -229,15 +229,23 @@ def _down_conv_child_to_parent(p, grid, storage):
 def _scatter_parents_dense(grid, storage_p, pactive):
     """Scatter parent rows into a dense (R/2)^3 volume (zeros elsewhere).
 
-    4-D index scatter: a flat (n3, C) scatter's output copy pads C to the
-    128-lane tile (22 GB at 352^3 x 16ch in the stage-3 training
-    backward); the 4-D form keeps the compact {2,1,0,3} layout."""
+    CHANNEL-MAJOR scatter: both flat (n3, C) and 4-D index scatters get
+    their transposes lowered through a lane-padded flat copy in the
+    training backward (22 GB at 352^3 x 16ch); the (C, n3) column scatter
+    and its column-gather transpose are the proven-compact forms (same as
+    ops/sparse.densify_storage at 704^3).  The moveaxis back to
+    channel-last matches XLA's channel-planar volume layout, so it is a
+    relabeling, not a copy."""
     half = grid.res // 2
+    n3 = half ** 3
     pc = jnp.clip(grid.parents, 0, half - 1)
-    x = jnp.where(pactive, pc[:, 0], half)  # OOB -> dropped
-    vol = jnp.zeros((half, half, half, storage_p.shape[-1]), storage_p.dtype)
-    return vol.at[x, pc[:, 1], pc[:, 2]].set(
-        storage_p * pactive[:, None].astype(storage_p.dtype), mode="drop")
+    col = (pc[:, 0] * half + pc[:, 1]) * half + pc[:, 2]
+    col = jnp.where(pactive, col, n3)  # OOB -> dropped
+    C = storage_p.shape[-1]
+    flat = jnp.zeros((C, n3), storage_p.dtype)
+    flat = flat.at[:, col].set(
+        (storage_p * pactive[:, None].astype(storage_p.dtype)).T, mode="drop")
+    return jnp.moveaxis(flat.reshape(C, half, half, half), 0, -1)
 
 
 def _down_conv_parent_to_dense(p, grid, storage_p, pactive, out_res):
