@@ -226,43 +226,31 @@ def _down_conv_child_to_parent(p, grid, storage):
     return x.reshape(x.shape[0], -1) @ _w_flat(p["w"])
 
 
-def _scatter_parents_dense(grid, storage_p, pactive):
-    """Scatter parent rows into a dense (R/2)^3 volume (zeros elsewhere).
-
-    CHANNEL-MAJOR scatter: both flat (n3, C) and 4-D index scatters get
-    their transposes lowered through a lane-padded flat copy in the
-    training backward (22 GB at 352^3 x 16ch); the (C, n3) column scatter
-    and its column-gather transpose are the proven-compact forms (same as
-    ops/sparse.densify_storage at 704^3).  The moveaxis back to
-    channel-last matches XLA's channel-planar volume layout, so it is a
-    relabeling, not a copy."""
-    half = grid.res // 2
-    n3 = half ** 3
-    pc = jnp.clip(grid.parents, 0, half - 1)
-    col = (pc[:, 0] * half + pc[:, 1]) * half + pc[:, 2]
-    col = jnp.where(pactive, col, n3)  # OOB -> dropped
-    C = storage_p.shape[-1]
-    flat = jnp.zeros((C, n3), storage_p.dtype)
-    flat = flat.at[:, col].set(
-        (storage_p * pactive[:, None].astype(storage_p.dtype)).T, mode="drop")
-    return jnp.moveaxis(flat.reshape(C, half, half, half), 0, -1)
-
-
 def _down_conv_parent_to_dense(p, grid, storage_p, pactive, out_res):
-    """Stride-2 conv parents -> dense (out_res^3): scatter the sparse parent
-    set into a dense (R/2)^3 volume and run a native XLA conv (a gather
-    formulation over a dense meshgrid bloats the graph enough to OOM the
-    compiler at fine stages).
+    """Stride-2 conv parents -> dense (out_res^3), computed SPARSELY.
 
-    Above 256^3 the conv is SLABBED along x with 1-row halos: the
-    unslabbed conv's BACKWARD materializes a blocked
-    convolution_select_fusion temp of ~23 GB at 352^3 during staged
-    training; per-slab temps are nslab x smaller and its adjoint is
-    slice-accumulation."""
-    dense = _scatter_parents_dense(grid, storage_p, pactive)[None]
-    if dense.shape[1] < 256:
-        return conv3d_apply(p, dense, stride=2)[0]
-    return conv3d_stride2_slabbed(p, dense, nslab=4)[0]
+    The dense formulation (scatter parents to an (R/2)^3 volume + native
+    XLA conv) is correct but untrainable at stage 3: every layout we tried
+    for the 352^3 x 16ch intermediate gets a 128-lane-padded 22 GB copy
+    somewhere in the training backward.  Observing that the conv output is
+    immediately masked by m2 (= cells with >= 1 active parent, exactly
+    {parent >> 1}), the conv only needs evaluating at those <= P cells:
+    27 parent-table gathers + one tap-stacked matmul per ACTIVE cell, then
+    a scatter into the small (R/4)^3 volume.  Sibling parents recompute the
+    same cell (identical values) and padding rows scatter out of bounds."""
+    cells = grid.parents >> 1                    # (P, 3) at R/4
+    wf = _w_flat(p["w"])
+
+    def chunk_fn(rows):
+        src = cells[rows][:, None, :] * 2 + _OFFSETS_ARR   # (n, 27, 3) @R/2
+        x = _parent_gather(grid, storage_p, src, pactive)
+        return x.reshape(x.shape[0], -1) @ wf
+
+    vals = _chunked_rows(chunk_fn, cells.shape[0])         # (P, Cout)
+    cc = jnp.clip(cells, 0, out_res - 1)
+    x = jnp.where(pactive, cc[:, 0], out_res)              # OOB -> dropped
+    vol = jnp.zeros((out_res, out_res, out_res, vals.shape[-1]), vals.dtype)
+    return vol.at[x, cc[:, 1], cc[:, 2]].set(vals, mode="drop")
 
 
 def conv3d_stride2_slabbed(p, dense, nslab=4):
