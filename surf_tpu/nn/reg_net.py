@@ -212,18 +212,32 @@ def _subm_conv_child(p, grid, storage):
 
 
 def _subm_conv_parent(p, grid, storage_p, pactive):
-    """Submanifold conv over the parent set: (P, Cin) -> (P, Cout)."""
-    x = _parent_gather(grid, storage_p,
-                       grid.parents[:, None, :] + _OFFSETS_ARR, pactive)
-    out = x.reshape(x.shape[0], -1) @ _w_flat(p["w"])
+    """Submanifold conv over the parent set: (P, Cin) -> (P, Cout).
+    Chunked: the (P, 27, C) stacked-tap temp lane-pads to ~6 GB at
+    stage-3 capacity inside the training backward."""
+    wf = _w_flat(p["w"])
+
+    def chunk_fn(rows):
+        x = _parent_gather(grid, storage_p,
+                           grid.parents[rows][:, None, :] + _OFFSETS_ARR,
+                           pactive)
+        return x.reshape(x.shape[0], -1) @ wf
+
+    out = _chunked_rows(chunk_fn, grid.parents.shape[0])
     return out * pactive[:, None].astype(out.dtype)
 
 
 def _down_conv_child_to_parent(p, grid, storage):
-    """Stride-2 conv children -> parents: out[q] = sum_off w[off] x[2q+off]."""
-    x = _child_gather(grid, storage,
-                      grid.parents[:, None, :] * 2 + _OFFSETS_ARR)
-    return x.reshape(x.shape[0], -1) @ _w_flat(p["w"])
+    """Stride-2 conv children -> parents: out[q] = sum_off w[off] x[2q+off].
+    Chunked (see _subm_conv_parent)."""
+    wf = _w_flat(p["w"])
+
+    def chunk_fn(rows):
+        x = _child_gather(grid, storage,
+                          grid.parents[rows][:, None, :] * 2 + _OFFSETS_ARR)
+        return x.reshape(x.shape[0], -1) @ wf
+
+    return _chunked_rows(chunk_fn, grid.parents.shape[0])
 
 
 def _down_conv_parent_to_dense(p, grid, storage_p, pactive, out_res):
@@ -277,18 +291,24 @@ def conv3d_stride2_slabbed(p, dense, nslab=4):
 
 def _up_conv_dense_to_parent(p, grid, dense):
     """Transposed stride-2 conv dense (R/4) -> parent set (R/2):
-    out[c] = sum_{off: (c-off) even} w[off] x[(c-off)/2]."""
+    out[c] = sum_{off: (c-off) even} w[off] x[(c-off)/2].
+    Chunked (see _subm_conv_parent)."""
     n = dense.shape[0]
     flat = dense.reshape(n ** 3, -1)
-    src2 = grid.parents[:, None, :] - _OFFSETS_ARR                    # (P,27,3)
-    even = jnp.all((src2 & 1) == 0, axis=-1)
-    src = src2 >> 1
-    inb = jnp.all((src >= 0) & (src < n), axis=-1) & even
-    sc = jnp.clip(src, 0, n - 1)
-    idx = (sc[..., 0] * n + sc[..., 1]) * n + sc[..., 2]
-    x = flat[idx.reshape(-1)].reshape(*idx.shape, flat.shape[-1])
-    x = x * inb[..., None].astype(flat.dtype)
-    return x.reshape(x.shape[0], -1) @ _w_flat(p["w"])
+    wf = _w_flat(p["w"])
+
+    def chunk_fn(rows):
+        src2 = grid.parents[rows][:, None, :] - _OFFSETS_ARR          # (n,27,3)
+        even = jnp.all((src2 & 1) == 0, axis=-1)
+        src = src2 >> 1
+        inb = jnp.all((src >= 0) & (src < n), axis=-1) & even
+        sc = jnp.clip(src, 0, n - 1)
+        idx = (sc[..., 0] * n + sc[..., 1]) * n + sc[..., 2]
+        x = flat[idx.reshape(-1)].reshape(*idx.shape, flat.shape[-1])
+        x = x * inb[..., None].astype(flat.dtype)
+        return x.reshape(x.shape[0], -1) @ wf
+
+    return _chunked_rows(chunk_fn, grid.parents.shape[0])
 
 
 def _up_conv_parent_to_child(p, grid, storage_p, pactive):
