@@ -53,6 +53,14 @@ def _tree_add(a, b):
     return jax.tree.map(jnp.add, a, b)
 
 
+# jitted accumulate with the LEFT operand donated: gradient/cotangent trees
+# never exist twice during the backward stage loop, which runs near full
+# HBM occupancy at the 704^3 protocol
+@partial(jax.jit, donate_argnums=(0,))
+def _tree_add_into(a, b):
+    return jax.tree.map(jnp.add, a, b)
+
+
 # ---------------------------------------------------------------------------
 # jitted pieces (cached per frozen static / stage index)
 # ---------------------------------------------------------------------------
@@ -221,24 +229,35 @@ def value_and_grad_staged(params, state, static, loss_cfg, batch, key,
     # differentiable downstream (z-val surface localization stops gradients)
     cot_rest = _zeros_like_tree(rest)
 
+    # free forward products the backward no longer needs: the stage loop
+    # runs near full HBM occupancy at the 704^3 protocol
+    del rest, stage_outs, depth_outs, g_feats, matching_volume
+    del match_features, grids
+
     for s in reversed(range(num_stage)):
         _, bwd = _stage_fns(frozen_static, s, perturb)
         cot_stage_out = {
             "storage": g_storages[s],
-            "depth": g_depth_outs[f"depth_stage{s}"],
-            "depth_src": g_depth_outs[f"depth_src_stage{s}"],
-            "occ_reg": g_depth_outs[f"occ_reg_stage{s}"],
+            "depth": g_depth_outs.pop(f"depth_stage{s}"),
+            "depth_src": g_depth_outs.pop(f"depth_src_stage{s}"),
+            "occ_reg": g_depth_outs.pop(f"occ_reg_stage{s}"),
         }
+        g_storages[s] = None
+        storages[s] = None
         g_params_s, g_feats_s, cot_rest = bwd(
             params, state["reg_network"][s], batch, features, keys[s],
             grids_in[s], rests_in[s], cot_rest, cot_stage_out)
-        grads = _tree_add(grads, g_params_s)
-        cot_features = [a + b for a, b in zip(cot_features, g_feats_s)]
+        # drop this stage's saved inputs before the next (coarser) bwd
+        grids_in[s] = None
+        rests_in[s] = None
+        grads = _tree_add_into(grads, g_params_s)
+        del g_params_s
+        cot_features = _tree_add_into(cot_features, list(g_feats_s))
 
     grads["feature_network"] = _tree_add(
         grads["feature_network"],
         feat_bwd(params["feature_network"], batch["imgs"],
-                 tuple(cot_features)))
+                 list(cot_features)))
 
     new_state = {"reg_network": new_reg_state,
                  "match_feature_network": state["match_feature_network"]}
