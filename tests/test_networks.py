@@ -101,3 +101,27 @@ def test_checkpoint_roundtrip(tmp_path):
     assert out["model"]["none_field"] is None
     assert isinstance(out["model"]["tup"], tuple)
     np.testing.assert_array_equal(out["model"]["tup"][0], tree["model"]["tup"][0])
+
+
+def test_feature_net_mnasnet_shapes():
+    """Unused alternative backbone (feature_network_mnasnet.py:52-103):
+    5 pyramid levels fine-to-coarse at strides /2../32 with conf d_out."""
+    import jax
+    import jax.numpy as jnp
+    from surf_tpu.config import ConfigFactory
+    from surf_tpu.nn import feature_net_mnasnet as fm
+
+    conf = ConfigFactory.parse_string("""
+    net {
+        d_out = [4, 4, 4, 4, 4]
+    }
+    """)
+    params = fm.init(jax.random.PRNGKey(0), conf["net"])
+    imgs = jnp.zeros((2, 64, 96, 3))
+    outs = fm.apply(params, imgs)
+    assert len(outs) == 5
+    # dec1 undoes the stem's stride 2: levels at /1, /2, /4, /8, /16
+    hw = [(64, 96), (32, 48), (16, 24), (8, 12), (4, 6)]
+    for o, (h, w) in zip(outs, hw):
+        assert o.shape == (2, h, w, 4), o.shape
+    assert all(bool(jnp.isfinite(o).all()) for o in outs)
