@@ -128,6 +128,91 @@ def depth_consistency(world_pts, cand_valid, depths, intrs, c2ws, stage_range):
     return counts, keep
 
 
+def geocheck_depths(depths, intrs, c2ws):
+    """Cross-view geometric-consistency masking of the rendered depth maps —
+    port of the reference's unused ``depth_filtering_geocheck`` pre-filter
+    (volume.py:170-208): each view's depth is reprojected into every other
+    view, sampled there, and projected back; pixels whose round-trip agrees
+    in relative depth (< 0.3) and image distance (< 5 px) with > 1 other
+    view keep their depth, the rest are zeroed.  As in the reference, the
+    masking only applies when it would keep > 1% of pixels.
+
+    depths: (nv, H, W) -> (nv, H, W).
+    """
+    nv, H, W = depths.shape
+    y, x = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                        jnp.arange(W, dtype=jnp.float32), indexing="ij")
+    xy1 = jnp.stack([x.reshape(-1), y.reshape(-1),
+                     jnp.ones(H * W, jnp.float32)])              # (3, hw)
+    K = intrs[:, :3, :3]
+    K_inv = jnp.linalg.inv(K)
+    w2c = jnp.linalg.inv(c2ws)
+
+    # unproject each reference view's depth to world
+    cam = jnp.einsum("vij,jn->vin", K_inv, xy1) * depths.reshape(nv, 1, -1)
+    cam_h = jnp.concatenate([cam, jnp.ones_like(cam[:, :1])], axis=1)
+    world = jnp.einsum("vij,vjn->vin", c2ws, cam_h)              # (v,4,hw)
+
+    # project into every source view s: (s, v, ...)
+    src_cam = jnp.einsum("sij,vjn->svin", w2c, world)[:, :, :3]
+    src_xyz = jnp.einsum("sij,svjn->svin", K, src_cam)
+    src_xy = src_xyz[:, :, :2] / (src_xyz[:, :, 2:] + 1e-8)      # (s,v,2,hw)
+    grid = jnp.stack([src_xy[:, :, 0] / ((W - 1) / 2) - 1,
+                      src_xy[:, :, 1] / ((H - 1) / 2) - 1], -1)  # (s,v,hw,2)
+    warp = jax.vmap(lambda d, g: bilinear_sample_2d(
+        d[..., None], g, align_corners=True)[..., 0]
+    )(depths, grid.reshape(nv, nv * H * W, 2))                   # (s, v*hw)
+    warp = warp.reshape(nv, nv, H * W)
+
+    # lift the source samples back to world and into the reference camera
+    xyz_src = jnp.concatenate(
+        [src_xy, jnp.ones_like(src_xy[:, :, :1])], axis=2) * warp[:, :, None]
+    back_cam = jnp.einsum("sij,svjn->svin", K_inv, xyz_src)
+    back_w = jnp.einsum("sij,svjn->svin", c2ws,
+                        jnp.concatenate([back_cam,
+                                         jnp.ones_like(back_cam[:, :, :1])],
+                                        axis=2))
+    # reference-camera coordinates of the round-trip points: (v, s, 3, hw)
+    ref_cam = jnp.einsum("vij,svjn->vsin", w2c, back_w)[:, :, :3]
+    depth_proj = ref_cam[:, :, 2].reshape(nv, nv, H, W)
+    proj_xyz = jnp.einsum("vij,vsjn->vsin", K, ref_cam)
+    proj_xy = proj_xyz[:, :, :2] / (proj_xyz[:, :, 2:] + 1e-8)
+
+    d = depths[:, None]
+    depth_ok = jnp.abs(d - depth_proj) / jnp.maximum(d, 1e-8) < 0.3
+    coord_ok = jnp.sqrt(jnp.sum(
+        (xy1[None, None, :2] - proj_xy) ** 2, axis=2)
+    ).reshape(nv, nv, H, W) < 5.0
+    geomask = jnp.sum((depth_ok & coord_ok).astype(jnp.int32), axis=1) > 1
+    use = jnp.mean(geomask.astype(jnp.float32)) > 0.01
+    return jnp.where(use, depths * geomask.astype(depths.dtype), depths)
+
+
+def depth_consistency_geocheck(world_pts, cand_valid, depths, intrs, c2ws,
+                               stage_range):
+    """``depth_filtering_geocheck`` equivalent (reference volume.py:170-238,
+    unused variant): geometric-consistency mask the depth maps, then apply
+    the standard depth-window voxel filter against the masked depths
+    (zeroed pixels cannot validate a voxel, matching the reference's
+    ``warp_depths > 0`` term)."""
+    masked = jax.lax.stop_gradient(geocheck_depths(depths, intrs, c2ws))
+
+    nv, H, W = depths.shape
+
+    def count_chunk(pts):
+        xy, depth = project_points_all(pts, intrs, c2ws)
+        grid = pixel_to_normalized(xy, (H, W))
+        mask = in_frustum_mask(xy, depth, (H, W), inclusive=True)
+        warp = jax.vmap(lambda d, g: bilinear_sample_2d(
+            d[..., None], g, align_corners=True)[..., 0])(masked, grid)
+        ok = (jnp.abs(warp - depth) < stage_range) & mask & (warp > 0)
+        return jnp.sum(ok.astype(jnp.int32), axis=0)
+
+    counts = count_chunk(world_pts)
+    keep = (counts > 1) & cand_valid
+    return counts, keep
+
+
 def upsample_and_filter(prev_grid: sp.VoxelGrid, prev_mid, depths, intrs, c2ws,
                         stage_range, parent_cap: int):
     """Subdivide the previous stage's voxels 2x, keep children consistent

@@ -155,3 +155,45 @@ def test_converter_shapes():
     assert params["implicit_surface"]["sdf_network"]["layers"][0]["v"].shape == (27, 128)
     assert params["implicit_surface"]["color_network"]["rgb_fc"][2]["w"].shape == (8, 1)
     assert state["reg_network"][0]["conv0"]["bn"]["mean"].shape == (8,)
+
+
+def test_geocheck_depths_consistency():
+    """Port of the unused depth_filtering_geocheck (reference
+    volume.py:170-238): cross-view-consistent depths pass unchanged, a
+    corrupted view is zeroed."""
+    import jax.numpy as jnp
+    from surf_tpu.nn.volume import geocheck_depths, depth_consistency_geocheck
+
+    H, W, nv = 24, 32, 3
+    K = np.eye(4, dtype=np.float32)
+    K[0, 0] = K[1, 1] = 40.0
+    K[0, 2], K[1, 2] = W / 2, H / 2
+    intrs = np.stack([K] * nv)
+    c2ws = np.stack([np.eye(4, dtype=np.float32) for _ in range(nv)])
+    c2ws[1][0, 3] = 0.05   # small x translations
+    c2ws[2][0, 3] = -0.05
+    # fronto-parallel plane at z=2: every view sees constant depth 2
+    depths = np.full((nv, H, W), 2.0, np.float32)
+
+    out = np.asarray(geocheck_depths(
+        jnp.asarray(depths), jnp.asarray(intrs), jnp.asarray(c2ws)))
+    # borders can reproject outside the neighboring views (masked, as in
+    # the reference); the interior passes through unchanged
+    np.testing.assert_allclose(out[:, 2:-2, 2:-2], depths[:, 2:-2, 2:-2],
+                               atol=1e-4)
+
+    bad = depths.copy()
+    bad[2] = 7.0           # inconsistent third view
+    out2 = np.asarray(geocheck_depths(
+        jnp.asarray(bad), jnp.asarray(intrs), jnp.asarray(c2ws)))
+    np.testing.assert_allclose(out2[:2, 2:-2, 2:-2], bad[:2, 2:-2, 2:-2],
+                               atol=1e-4)
+    # interior of the bad view is zeroed (borders can alias via clamping)
+    assert np.abs(out2[2, 4:-4, 4:-4]).max() < 1e-6
+
+    # voxel filter runs against the masked depths
+    pts = jnp.asarray(np.array([[0.0, 0.0, 2.0], [0.0, 0.0, 5.0]], np.float32))
+    counts, keep = depth_consistency_geocheck(
+        pts, jnp.asarray(np.array([True, True])), jnp.asarray(bad),
+        jnp.asarray(intrs), jnp.asarray(c2ws), 0.3)
+    assert bool(keep[0]) and not bool(keep[1])
