@@ -43,6 +43,12 @@ def init(key, conf):
         "reg_network": reg_params,
         "implicit_surface": is_params,
     }
+    # strip weak types (leaves built from Python scalars, e.g. jnp.full):
+    # after the first optimizer update they turn strong and every graph
+    # that takes params retraces once — ~20 min of recompiles at the full
+    # protocol on the remote-compile backend
+    params = jax.tree.map(
+        lambda x: jax.lax.convert_element_type(x, x.dtype), params)
     state = {
         "reg_network": reg_state,
         # frozen copy of the feature network, refreshed on even steps

@@ -36,6 +36,8 @@ stage flow per models/surf.py:80-131.
 from __future__ import annotations
 
 import functools
+import os
+import time
 from functools import partial
 
 import jax
@@ -183,6 +185,17 @@ def value_and_grad_staged(params, state, static, loss_cfg, batch, key,
     num_stage = static["num_stage"]
     frozen_static = surf._freeze(static)
     frozen_loss = surf._freeze(loss_cfg)
+    prof = os.environ.get("SURF_STAGED_PROFILE", "0") != "0"
+
+    def tick(label, out):
+        if prof:
+            jax.block_until_ready(out)
+            t = time.time()
+            dt = t - tick.t0
+            tick.t0 = t
+            print(f"  [staged] {label:>12s}: {dt:7.2f} s", flush=True)
+        return out
+    tick.t0 = time.time()
 
     k_build, k_render = jax.random.split(key)
     keys = jax.random.split(k_build, num_stage)
@@ -202,6 +215,7 @@ def value_and_grad_staged(params, state, static, loss_cfg, batch, key,
         grid, rest, stage_out, reg_s = fwd(
             params, state["reg_network"][s], batch, features, keys[s],
             grid, rest)
+        tick(f"fwd stage {s}", rest)
         grids.append(grid)
         stage_outs.append(stage_out)
         new_reg_state.append(reg_s)
@@ -220,6 +234,7 @@ def value_and_grad_staged(params, state, static, loss_cfg, batch, key,
         params["implicit_surface"], storages, depth_outs, features, grids,
         matching_volume, match_features, batch, k_render,
         jnp.float32(step_f), jnp.float32(anneal))
+    tick("head", loss)
 
     # ---- backward through the cascade ----
     grads = _zeros_like_tree(params)
@@ -247,6 +262,7 @@ def value_and_grad_staged(params, state, static, loss_cfg, batch, key,
         g_params_s, g_feats_s, cot_rest = bwd(
             params, state["reg_network"][s], batch, features, keys[s],
             grids_in[s], rests_in[s], cot_rest, cot_stage_out)
+        tick(f"bwd stage {s}", cot_rest if cot_rest is not None else g_params_s)
         # drop this stage's saved inputs before the next (coarser) bwd
         grids_in[s] = None
         rests_in[s] = None
