@@ -197,3 +197,33 @@ def test_geocheck_depths_consistency():
         pts, jnp.asarray(np.array([True, True])), jnp.asarray(bad),
         jnp.asarray(intrs), jnp.asarray(c2ws), 0.3)
     assert bool(keep[0]) and not bool(keep[1])
+
+
+def test_consistency_loss_zero_for_consistent_depths():
+    """Unused consistency loss (consistency_loss.py:5-58): two views of a
+    fronto-parallel plane agree exactly -> near-zero loss; a corrupted
+    source depth raises it."""
+    import jax.numpy as jnp
+    from surf_tpu.losses.consistency import compute_consistency_loss
+
+    H, W = 20, 28
+    K = np.eye(4, dtype=np.float32)
+    K[0, 0] = K[1, 1] = 30.0
+    K[0, 2], K[1, 2] = W / 2, H / 2
+    c2ws = np.stack([np.eye(4, dtype=np.float32) for _ in range(2)])
+    c2ws[1][0, 3] = 0.05
+    depth = np.full((H, W), 2.0, np.float32)
+    mask = np.zeros((H, W), np.float32)
+    mask[3:-3, 3:-3] = 1.0  # interior (borders reproject outside)
+
+    loss = float(compute_consistency_loss(
+        jnp.asarray(depth), jnp.asarray(depth),
+        jnp.asarray(np.stack([K, K])), jnp.asarray(c2ws), 1,
+        jnp.asarray(mask), jnp.asarray(mask)))
+    assert loss < 1e-5, loss
+
+    loss_bad = float(compute_consistency_loss(
+        jnp.asarray(depth), jnp.asarray(depth * 1.008),
+        jnp.asarray(np.stack([K, K])), jnp.asarray(c2ws), 1,
+        jnp.asarray(mask), jnp.asarray(mask)))
+    assert loss_bad > loss

@@ -125,3 +125,39 @@ def test_feature_net_mnasnet_shapes():
     for o, (h, w) in zip(outs, hw):
         assert o.shape == (2, h, w, 4), o.shape
     assert all(bool(jnp.isfinite(o).all()) for o in outs)
+
+
+def test_rendering_network_modes():
+    """Unused IDR-style color MLP (rendering_network.py:9-86): all three
+    input modes produce finite sigmoid colors of the right shape."""
+    import jax
+    import jax.numpy as jnp
+    from surf_tpu.config import ConfigFactory
+    from surf_tpu.nn import rendering_net
+
+    for mode, mrv in (("idr", 4), ("no_view_dir", 0), ("no_normal", 0)):
+        conf = ConfigFactory.parse_string(f"""
+        net {{
+            d_feature = 16
+            mode = {mode}
+            d_in = {9 if mode == "idr" else 6}
+            d_out = 3
+            d_hidden = 32
+            n_layers = 2
+            skip_in = [5]
+            multires_view = {mrv}
+            squeeze_out = True
+        }}
+        """)
+        params, static = rendering_net.init(jax.random.PRNGKey(0), conf["net"])
+        n = 13
+        k = jax.random.PRNGKey(1)
+        pts, nrm, vd, fv = (jax.random.normal(k, (n, 3)),
+                            jax.random.normal(k, (n, 3)),
+                            jax.random.normal(k, (n, 3)),
+                            jax.random.normal(k, (n, 16)))
+        out = rendering_net.apply(params, static, pts, nrm, vd, fv)
+        assert out.shape == (n, 3)
+        o = jnp.asarray(out)
+        assert bool(jnp.isfinite(o).all()) and bool((o >= 0).all()) \
+            and bool((o <= 1).all())
