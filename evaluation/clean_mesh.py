@@ -31,6 +31,44 @@ VIEW_LIST_SET1 = [43, 42, 44, 33, 34, 32, 45, 23, 41, 24, 31]
 MASK_HW = (1200, 1600)
 
 
+def clean_points_by_mask_official(points, masks, projs, minimal_vis=1):
+    """Vertex visibility with the OFFICIAL offline indexing (reference
+    evaluation/clean_mesh.py:101-141): project with the full P matrix,
+    ``round(+1)`` matlab-style indexing into masks padded with a ONES
+    border — so points within one pixel outside the image count as visible —
+    and threshold ``inside_mask > minimal_vis`` (>=2 views at the default).
+
+    This differs from the runtime pass (surf_tpu/geometry/clean_mesh.py):
+    bilinear mask sampling there, nearest+border-ones here.
+    """
+    h, w = masks.shape[1:]
+    inside = np.zeros(len(points), np.float32)
+    for i in range(len(projs)):
+        P = projs[i]
+        pi = points @ P[:3, :3].T + P[:3, 3]
+        pi = pi / pi[:, 2:]
+        pim = np.round(pi).astype(np.int64) + 1
+        m = masks[i] > 0
+        m = np.concatenate([np.ones((1, w), bool), m, np.ones((1, w), bool)], 0)
+        m = np.concatenate(
+            [np.ones((h + 2, 1), bool), m, np.ones((h + 2, 1), bool)], 1)
+        in_img = ((pim[:, 0] >= 0) & (pim[:, 0] <= w)
+                  & (pim[:, 1] >= 0) & (pim[:, 1] <= h))
+        cur = m[pim[:, 1].clip(0, h + 1), pim[:, 0].clip(0, w + 1)]
+        inside += cur.astype(np.float32) * in_img
+    return inside > minimal_vis
+
+
+def clean_mesh_by_mask_official(mesh, masks, intrs, c2ws, minimal_vis=1):
+    projs = [intrs[i][:3, :3] @ np.linalg.inv(c2ws[i])[:3, :4]
+             for i in range(len(intrs))]
+    keep = clean_points_by_mask_official(mesh.vertices, masks, projs,
+                                         minimal_vis)
+    mesh.update_faces(keep[mesh.faces].all(axis=-1))
+    mesh.remove_unreferenced_vertices()
+    return mesh
+
+
 def load_views(root_dir, scan, view_ids):
     masks, intrs, c2ws = [], [], []
     for vid in view_ids:
@@ -70,7 +108,8 @@ def main():
         mesh = Mesh.load(candidates[0])
         masks, intrs, c2ws = load_views(args.root_dir, scan, imgs_idx)
         masks = dilate_masks(masks, args.mask_kernel_size // 2)
-        mesh = clean_mesh_by_mask(mesh, masks, intrs, c2ws, min_nb_visible=1)
+        mesh = clean_mesh_by_mask_official(mesh, masks, intrs, c2ws,
+                                           minimal_vis=1)
         mesh = clean_mesh_outside_frustum(mesh, masks, intrs, c2ws, min_cc=500)
         out = os.path.join(args.out_dir, "final", f"scan{scan}.ply")
         mesh.export(out)

@@ -59,18 +59,25 @@ def sample_mesh_points(vertices, triangles, thresh):
     return np.concatenate(out, axis=0)
 
 
-def radius_downsample(pts, radius, seed=0):
-    """Greedy radius downsample (dtu_eval.py:98-107)."""
+def radius_downsample(pts, radius, seed=0, chunk=2_000_000):
+    """Greedy radius downsample (reference dtu_eval.py:98-107).
+
+    Same greedy-in-shuffled-order semantics as the reference's sklearn
+    ``radius_neighbors`` + mask loop: neighbor lists are computed in ONE
+    vectorized (multi-threaded) KD query per chunk, and only the trivial
+    mask updates run in Python — a DTU-scale cloud (~10^7 points at 0.2
+    density) downsamples in minutes, not hours."""
     rng = np.random.default_rng(seed)
     perm = rng.permutation(len(pts))
     pts = pts[perm]
     tree = cKDTree(pts)
     alive = np.ones(len(pts), bool)
-    for i in range(len(pts)):
-        if alive[i]:
-            idxs = tree.query_ball_point(pts[i], radius)
-            alive[idxs] = False
-            alive[i] = True
+    for lo in range(0, len(pts), chunk):
+        neigh = tree.query_ball_point(pts[lo:lo + chunk], radius, workers=-1)
+        for i, idxs in enumerate(neigh, start=lo):
+            if alive[i]:
+                alive[idxs] = False
+                alive[i] = True
     return pts[alive]
 
 

@@ -18,10 +18,9 @@ Layout mappings (validated by tests/test_layers.py golden tests vs torch):
   Conv2d  (out,in,kh,kw)      -> (kh,kw,in,out)
   ConvT2d (in,out,kh,kw)      -> (kh,kw,in,out)           + spatial flip
   weight-norm Linear: v (out,in) -> (in,out); g (out,1) -> (out,)
-  torchsparse conv kernel (k^3, in, out) -> (k,k,k,in,out); the offset
-  enumeration order is configurable (``sparse_kernel_order``) because it is
-  a torchsparse implementation detail — verify against activations when a
-  real checkpoint is available.
+  torchsparse conv kernel (k^3, in, out) -> (k,k,k,in,out): tap t maps to
+  spatial (t % k, (t//k) % k, t // k^2) — x varies fastest — per
+  torchsparse 2.1.0's get_kernel_offsets (see _sparse_conv3d).
 """
 
 from __future__ import annotations
@@ -60,14 +59,27 @@ def _conv2d_T(sd, prefix):
     return p
 
 
-def _sparse_conv3d(sd, prefix, order="xyz"):
+def _sparse_conv3d(sd, prefix):
+    """torchsparse kernel (k^3, in, out) -> (k, k, k, in, out), (x,y,z) axes.
+
+    The tap enumeration is pinned by torchsparse 2.1.0 (the reference's
+    requirements.txt pin), ``get_kernel_offsets`` in
+    torchsparse/nn/utils/kernel.py: for ODD kernel volumes it builds
+    ``offsets = [[x, y, z] for z in zs for y in ys for x in xs]`` — x varies
+    FASTEST, so tap t corresponds to (ix, iy, iz) = (t % k, (t//k) % k,
+    t // k^2).  Reshaping the (k^3, ...) kernel therefore yields axes
+    (z, y, x, ...) and the (x, y, z) layout used by reg_net needs the
+    spatial transpose below.  torchsparse applies in_coord = out_coord +
+    offset (cross-correlation), matching reg_net's out[i] += w[off] x[i+off],
+    so no spatial flip is involved.  All SuRF reg-net kernels are 3^3 (odd).
+    Locked by tests/test_converter.py::test_sparse_conv3d_kernel_order.
+    """
     key = f"{prefix}.kernel" if f"{prefix}.kernel" in sd else f"{prefix}.weight"
     w = np.asarray(sd[key])
     if w.ndim == 3:                                  # (k^3, in, out)
         k = round(w.shape[0] ** (1 / 3))
-        w = w.reshape(k, k, k, w.shape[1], w.shape[2])
-        if order == "zyx":
-            w = w.transpose(2, 1, 0, 3, 4)
+        assert k % 2 == 1, "even torchsparse kernels enumerate differently"
+        w = w.reshape(k, k, k, w.shape[1], w.shape[2]).transpose(2, 1, 0, 3, 4)
     elif w.ndim == 5:                                # dense torch (out,in,k,k,k)
         w = w.transpose(2, 3, 4, 1, 0)
     return {"w": np.ascontiguousarray(w)}
@@ -94,7 +106,7 @@ def convert_feature_network(sd, prefix, num_stage):
     return out
 
 
-def convert_reg_network(sd, num_stages, order="xyz"):
+def convert_reg_network(sd, num_stages):
     names = ["conv0", "conv1", "conv2", "conv3", "conv4", "conv5", "conv6",
              "conv7", "conv9", "conv11"]
     params, state = [], []
@@ -102,7 +114,7 @@ def convert_reg_network(sd, num_stages, order="xyz"):
         p, st = {}, {}
         for n in names:
             base = f"reg_network.nets.{s}.{n}.net"
-            conv = _sparse_conv3d(sd, f"{base}.0", order)
+            conv = _sparse_conv3d(sd, f"{base}.0")
             bn_p, bn_s = _bn(sd, f"{base}.1")
             p[n] = {"conv": conv, "bn": bn_p}
             st[n] = {"bn": bn_s}
@@ -135,8 +147,7 @@ def convert_blending_network(sd, prefix):
     return p
 
 
-def convert_checkpoint(state_dict, *, num_stage=4, sdf_layers=7,
-                       sparse_kernel_order="xyz"):
+def convert_checkpoint(state_dict, *, num_stage=4, sdf_layers=7):
     """state_dict: mapping name -> numpy array (pass torch tensors through
     ``{k: v.detach().cpu().numpy() for ...}``).  Returns (params, state)
     matching surf_tpu.nn.surf.init's pytree structure."""
@@ -145,7 +156,7 @@ def convert_checkpoint(state_dict, *, num_stage=4, sdf_layers=7,
     sd = {k[len("module."):] if k.startswith("module.") else k: v
           for k, v in sd.items()}
 
-    reg_p, reg_s = convert_reg_network(sd, num_stage, sparse_kernel_order)
+    reg_p, reg_s = convert_reg_network(sd, num_stage)
     params = {
         "feature_network": convert_feature_network(sd, "feature_network", num_stage),
         "volume": {"agg_mlp": [_lin(sd, "volume.agg_mlp.0"),

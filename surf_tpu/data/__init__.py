@@ -59,12 +59,16 @@ class Loader:
             yield self.dataset[int(i)]
 
 
-def get_loader(conf, mode, distributed=False):
+def get_loader(conf, mode, distributed=False, seed=0):
     name = conf["dataset_name"]
     if name not in _DATASETS:
         raise NotImplementedError(f"Unknown dataset {name}!")
-    dataset = _DATASETS[name](conf, mode)
+    cls = _DATASETS[name]
+    try:
+        dataset = cls(conf, mode, rng=np.random.RandomState(seed))
+    except TypeError:  # dataset without host-side randomness
+        dataset = cls(conf, mode)
     if mode == "finetune":
         return dataset
-    loader = Loader(dataset, shuffle=(mode == "train"))
+    loader = Loader(dataset, shuffle=(mode == "train"), seed=seed)
     return loader, loader, dataset  # (loader, sampler, dataset) triple

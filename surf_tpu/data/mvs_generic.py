@@ -48,10 +48,12 @@ _SPECS = {
 
 
 class GenericMVSDataset:
-    def __init__(self, confs, mode, dataset_name):
+    def __init__(self, confs, mode, dataset_name, rng=None):
         spec = _SPECS[dataset_name]
         self.spec = spec
         self.mode = mode
+        self.rng = rng if rng is not None else \
+            np.random.RandomState(confs.get_int("seed", default=0))
         self.data_dir = confs["data_dir"]
         self.num_src_view = confs.get_int("num_src_view")
         self.interval_scale = confs.get_float("interval_scale")
@@ -172,9 +174,9 @@ class GenericMVSDataset:
             mask0 = masks[0]
             valid_xy = np.argwhere(mask0 > 0.5)[:, ::-1].astype(np.float32)
             n_uni = self.n_rays // 4
-            sel = valid_xy[np.random.randint(0, len(valid_xy), self.n_rays - n_uni)]
-            uni = np.stack([np.random.randint(0, w, n_uni).astype(np.float32),
-                            np.random.randint(0, h, n_uni).astype(np.float32)], -1)
+            sel = valid_xy[self.rng.randint(0, len(valid_xy), self.n_rays - n_uni)]
+            uni = np.stack([self.rng.randint(0, w, n_uni).astype(np.float32),
+                            self.rng.randint(0, h, n_uni).astype(np.float32)], -1)
             pix = np.concatenate([sel, uni])
             px, py = pix[:, 0], pix[:, 1]
         else:
@@ -210,13 +212,13 @@ class GenericMVSDataset:
         return out
 
 
-def BMVSDataset(confs, mode):
-    return GenericMVSDataset(confs, mode, "BMVSDataset")
+def BMVSDataset(confs, mode, rng=None):
+    return GenericMVSDataset(confs, mode, "BMVSDataset", rng=rng)
 
 
-def TanksDataset(confs, mode):
-    return GenericMVSDataset(confs, mode, "TanksDataset")
+def TanksDataset(confs, mode, rng=None):
+    return GenericMVSDataset(confs, mode, "TanksDataset", rng=rng)
 
 
-def ETH3DDataset(confs, mode):
-    return GenericMVSDataset(confs, mode, "ETH3DDataset")
+def ETH3DDataset(confs, mode, rng=None):
+    return GenericMVSDataset(confs, mode, "ETH3DDataset", rng=rng)

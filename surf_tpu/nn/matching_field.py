@@ -79,13 +79,22 @@ def depth_render(key, rays_o, rays_d, near, far, c2w, matching_volume,
 
 
 def apply(key, conf_static, ipts, matching_volume, stage_idx, range_ratios,
-          pre_depths=None, *, perturb=False):
+          pre_depths=None, *, perturb=False, grad_views_only=False):
     """Render per-view depth maps at the stage's resolution level.
 
     conf_static: dict with n_samples_depths / depth_res_levels lists.
     ipts: dict with imgs (nv,H,W,3), intrs (nv,4,4), c2ws (nv,4,4),
       near_fars (nv,2), and optionally src_idx (traced int).
     Returns (depths (nv, H, W), occ_regs (nv,)).
+
+    Gradients flow only through the reference view and the sampled source
+    view (reference matching_field.py:129-133).  Structurally: one
+    stop-gradient pass over ALL views (no backward cost at all), plus a
+    differentiable re-render of views {0, src_idx} merged in — the backward
+    then pays the dense-volume scatter for exactly 2 views instead of nv.
+    With ``grad_views_only`` (the LAST cascade stage, whose depths feed no
+    further filtering) the all-views pass is skipped entirely and non-grad
+    views return zeros.
     """
     intrs = ipts["intrs"]
     c2ws = ipts["c2ws"]
@@ -100,13 +109,9 @@ def apply(key, conf_static, ipts, matching_volume, stage_idx, range_ratios,
 
     nv = intrs.shape[0]
     keys = jax.random.split(key, nv)
-    # gradient gate per view: identity where grads are kept, stop_gradient
-    # elsewhere — differentiable masking replacing the reference's no_grad
-    # branch (matching_field.py:129-133).  The whole per-view computation is
-    # vmapped to keep the lowered graph size independent of nv.
     keep_grad = (jnp.arange(nv) == 0) | (jnp.arange(nv) == jnp.asarray(src_idx))
 
-    def per_view(k, intr, c2w, near_far, pre_depth, keep):
+    def per_view(k, intr, c2w, near_far, pre_depth, keep, mv):
         rays_o, rays_d = pixels_to_rays(pixels, intr, c2w)
         near_ori, far_ori = near_far[0], near_far[1]
         if pre_depths is not None:
@@ -127,10 +132,8 @@ def apply(key, conf_static, ipts, matching_volume, stage_idx, range_ratios,
             far = jnp.full((rays_o.shape[0], 1), far_ori)
 
         d, occ = depth_render(k, rays_o, rays_d, near, far, c2w,
-                              matching_volume, n_samples,
+                              mv, n_samples,
                               perturb=perturb, perturb_gate=keep)
-        d = jnp.where(keep, d, jax.lax.stop_gradient(d))
-        occ = jnp.where(keep, occ, jax.lax.stop_gradient(occ))
         d = d.reshape(h, w)
         if level != 1:
             d = resize_bilinear_2d(d[..., None], (img_h, img_w))[..., 0]
@@ -138,10 +141,34 @@ def apply(key, conf_static, ipts, matching_volume, stage_idx, range_ratios,
 
     pre_arg = pre_depths if pre_depths is not None \
         else jnp.zeros((nv, 1, 1), jnp.float32)
-    # sequential over views (lax.map = scan): one view's sample tensors live
-    # at a time — at stage 3 (704^3 volume, full-res rays) a vmap here would
-    # materialize all views' gather indices at once (~12 GB)
-    depths, occ_regs = jax.lax.map(
-        jax.checkpoint(lambda args: per_view(*args)),
-        (keys, intrs, c2ws, near_fars, pre_arg, keep_grad))
+
+    if grad_views_only:
+        depths_all = jnp.zeros((nv, img_h, img_w), jnp.float32)
+        occ_all = jnp.zeros((nv,), jnp.float32)
+    else:
+        # value-only pass over every view, fully outside the autodiff graph
+        # (sequential lax.map: one view's 704^3-volume gather indices live at
+        # a time — a vmap would materialize all views' at once, ~12 GB)
+        mv_stop = jax.lax.stop_gradient(matching_volume)
+
+        def per_view_stop(args):
+            k, intr, c2w, nf, pre, keep = jax.lax.stop_gradient(args)
+            return per_view(k, intr, c2w, nf, pre, keep, mv_stop)
+
+        depths_all, occ_all = jax.lax.map(
+            per_view_stop, (keys, intrs, c2ws, near_fars, pre_arg, keep_grad))
+        depths_all = jax.lax.stop_gradient(depths_all)
+        occ_all = jax.lax.stop_gradient(occ_all)
+
+    # differentiable re-render of the two grad views (same keys -> identical
+    # values), merged by index — bitwise equal to rendering all views with
+    # per-view gradient gates, at 2/nv of the backward cost
+    sel = jnp.stack([jnp.asarray(0, jnp.int32),
+                     jnp.asarray(src_idx, jnp.int32).reshape(())])
+    d_sel, occ_sel = jax.lax.map(
+        lambda args: per_view(*args, keep=jnp.asarray(True),
+                              mv=matching_volume),
+        (keys[sel], intrs[sel], c2ws[sel], near_fars[sel], pre_arg[sel]))
+    depths = depths_all.at[sel].set(d_sel)
+    occ_regs = occ_all.at[sel].set(occ_sel)
     return depths, occ_regs

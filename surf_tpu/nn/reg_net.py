@@ -68,6 +68,288 @@ def _chunked_rows(fn, n_rows):
 
 
 # ---------------------------------------------------------------------------
+# custom VJPs for the gather convolutions
+#
+# XLA's autodiff of a gather is a scatter-add — at stage-3 capacity that is
+# ~84M serialized scatter-adds into multi-GB tables per conv, the dominant
+# term of the 57 s stage-3 backward (round-2 finding).  But every sparse
+# conv's input-transpose is ANOTHER sparse conv from the same family:
+#
+#   subm conv            <->  subm conv, kernel spatially flipped + C-transposed
+#   stride-2 down conv   <->  stride-2 up (transposed) conv, C-transposed
+#   parents -> dense     <->  dense -> parents,              C-transposed
+#
+# (out[i] = sum_off w[off] x[n(i,off)]  =>  dx[j] = sum_off w'[off] ct[m(j,off)]
+# with the adjacency inverted — still a gather because voxel->row is a
+# bijection.)  The weight gradient needs one extra gather pass of the saved
+# input.  So each conv's backward costs ~2 forward passes of GATHERS and
+# matmuls — no scatters, no per-chunk rematerialization.
+# ---------------------------------------------------------------------------
+
+
+def _flipT(w):
+    """Transpose kernel for submanifold convs: spatial flip + channel swap."""
+    return jnp.flip(w, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
+
+
+def _T(w):
+    """Transpose kernel for stride-2 down/up convs (no spatial flip: the
+    down/up index relations c = 2q + off are already mutual inverses)."""
+    return w.transpose(0, 1, 2, 4, 3)
+
+
+def _dw_chunked(gather27_fn, ct, n_rows):
+    """dW = sum_i X27[i]^T ct[i]  ->  (27, Cin, Cout), row-chunked.
+
+    gather27_fn(rows) -> (n, 27, Cin) must be the conv's forward gather.
+    Padded rows (row clamped to n_rows-1) contribute zero via zero-padded ct.
+    """
+    if n_rows <= _CHUNK_ROWS:
+        x = gather27_fn(jnp.arange(n_rows, dtype=jnp.int32))
+        return jnp.einsum("ntc,no->tco", x, ct)
+    n_chunks = -(-n_rows // _CHUNK_ROWS)
+    pad = n_chunks * _CHUNK_ROWS - n_rows
+    ct_p = jnp.concatenate(
+        [ct, jnp.zeros((pad, ct.shape[-1]), ct.dtype)]) if pad else ct
+    idx = jnp.arange(n_chunks * _CHUNK_ROWS, dtype=jnp.int32).reshape(
+        n_chunks, _CHUNK_ROWS)
+
+    def chunk(rows):
+        x = gather27_fn(jnp.minimum(rows, n_rows - 1))
+        return jnp.einsum("ntc,no->tco", x, ct_p[rows])
+
+    return jnp.sum(jax.lax.map(chunk, idx), axis=0)
+
+
+def _shape_dw(dw_flat, w):
+    return dw_flat.reshape(w.shape)
+
+
+# -- submanifold conv at child level ----------------------------------------
+
+@jax.custom_vjp
+def subm_conv_child(w, storage, grid):
+    return _subm_conv_child({"w": w}, grid, storage)
+
+
+def _subm_child_fwd(w, storage, grid):
+    return subm_conv_child(w, storage, grid), (w, storage, grid)
+
+
+def _subm_child_bwd(res, ct):
+    w, storage, grid = res
+    ct = ct * grid.cvalid[:, None].astype(ct.dtype)
+    dx = _subm_conv_child({"w": _flipT(w)}, grid, ct)
+    cc = grid.child_coords()
+
+    def g27(rows):
+        return _child_gather(grid, storage, cc[rows][:, None, :] + _OFFSETS_ARR)
+
+    dw = _shape_dw(_dw_chunked(g27, ct, cc.shape[0]), w)
+    return dw, dx, None
+
+
+subm_conv_child.defvjp(_subm_child_fwd, _subm_child_bwd)
+
+
+# -- submanifold conv at parent level ---------------------------------------
+
+@jax.custom_vjp
+def subm_conv_parent(w, storage_p, grid, pactive):
+    return _subm_conv_parent({"w": w}, grid, storage_p, pactive)
+
+
+def _subm_parent_fwd(w, storage_p, grid, pactive):
+    return subm_conv_parent(w, storage_p, grid, pactive), \
+        (w, storage_p, grid, pactive)
+
+
+def _subm_parent_bwd(res, ct):
+    w, storage_p, grid, pactive = res
+    ct = ct * pactive[:, None].astype(ct.dtype)
+    dx = _subm_conv_parent({"w": _flipT(w)}, grid, ct, pactive)
+
+    def g27(rows):
+        return _parent_gather(grid, storage_p,
+                              grid.parents[rows][:, None, :] + _OFFSETS_ARR,
+                              pactive)
+
+    dw = _shape_dw(_dw_chunked(g27, ct, grid.parents.shape[0]), w)
+    return dw, dx, None, None
+
+
+subm_conv_parent.defvjp(_subm_parent_fwd, _subm_parent_bwd)
+
+
+# -- stride-2 down conv, children -> parents --------------------------------
+
+@jax.custom_vjp
+def down_conv_child_to_parent(w, storage, grid, pactive):
+    # pactive unused in the forward (output rows are masked downstream); it
+    # gates the backward so garbage parent rows contribute nothing
+    return _down_conv_child_to_parent({"w": w}, grid, storage)
+
+
+def _down_c2p_fwd(w, storage, grid, pactive):
+    return down_conv_child_to_parent(w, storage, grid, pactive), \
+        (w, storage, grid, pactive)
+
+
+def _down_c2p_bwd(res, ct):
+    w, storage, grid, pactive = res
+    ct = ct * pactive[:, None].astype(ct.dtype)
+    dx = _up_conv_parent_to_child({"w": _T(w)}, grid, ct, pactive)
+
+    def g27(rows):
+        return _child_gather(grid, storage,
+                             grid.parents[rows][:, None, :] * 2 + _OFFSETS_ARR)
+
+    dw = _shape_dw(_dw_chunked(g27, ct, grid.parents.shape[0]), w)
+    return dw, dx, None, None
+
+
+down_conv_child_to_parent.defvjp(_down_c2p_fwd, _down_c2p_bwd)
+
+
+# -- transposed stride-2 conv, parents -> children --------------------------
+
+@jax.custom_vjp
+def up_conv_parent_to_child(w, storage_p, grid, pactive):
+    return _up_conv_parent_to_child({"w": w}, grid, storage_p, pactive)
+
+
+def _up_p2c_fwd(w, storage_p, grid, pactive):
+    return up_conv_parent_to_child(w, storage_p, grid, pactive), \
+        (w, storage_p, grid, pactive)
+
+
+def _up_p2c_bwd(res, ct):
+    w, storage_p, grid, pactive = res
+    ct = ct * grid.cvalid[:, None].astype(ct.dtype)
+    dx = _down_conv_child_to_parent({"w": _T(w)}, grid, ct) \
+        * pactive[:, None].astype(ct.dtype)
+    cc = grid.child_coords()
+
+    def g27(rows):
+        src2 = cc[rows][:, None, :] - _OFFSETS_ARR
+        even = jnp.all((src2 & 1) == 0, axis=-1)
+        x = _parent_gather(grid, storage_p, src2 >> 1, pactive)
+        return x * even[..., None].astype(x.dtype)
+
+    dw = _shape_dw(_dw_chunked(g27, ct, cc.shape[0]), w)
+    return dw, dx, None, None
+
+
+up_conv_parent_to_child.defvjp(_up_p2c_fwd, _up_p2c_bwd)
+
+
+# -- stride-2 down conv, parents -> dense (R/4)^3 ---------------------------
+
+def _canonical_parent_mask(grid, pactive):
+    """True for the lowest-slot ACTIVE parent of each (R/4)-cell — exactly
+    one writer per written cell (sibling parents compute identical values;
+    this also makes the scatter deterministic)."""
+    from ..ops.sparse import CHILD_OFFSETS
+    half = grid.res // 2
+    cell = grid.parents >> 1
+    p = grid.parents
+    slot = ((p[:, 0] & 1) << 2) | ((p[:, 1] & 1) << 1) | (p[:, 2] & 1)
+    flat_table = grid.parent_table.reshape(-1)
+    canon = pactive
+    for k in range(8):
+        sib = cell * 2 + CHILD_OFFSETS[k]
+        sibc = jnp.clip(sib, 0, half - 1)
+        idx = (sibc[:, 0] * half + sibc[:, 1]) * half + sibc[:, 2]
+        prow = flat_table[idx]
+        active = (prow >= 0) & pactive[jnp.clip(prow, 0)] \
+            & jnp.all(sib < half, axis=-1)
+        canon = canon & ~((k < slot) & active)
+    return canon
+
+
+from functools import partial as _fpartial
+
+
+@_fpartial(jax.custom_vjp, nondiff_argnums=(4,))
+def down_conv_parent_to_dense(w, storage_p, grid, pactive, out_res):
+    return _down_conv_parent_to_dense({"w": w}, grid, storage_p, pactive,
+                                      out_res)
+
+
+def _down_p2d_fwd(w, storage_p, grid, pactive, out_res):
+    return down_conv_parent_to_dense(w, storage_p, grid, pactive, out_res), \
+        (w, storage_p, grid, pactive)
+
+
+def _down_p2d_bwd(out_res, res, ct):
+    w, storage_p, grid, pactive = res
+    # ct arrives masked by m2 (every consumer of the dense levels multiplies
+    # by the activity mask), so restricting to written cells is exact
+    dx = _up_conv_dense_to_parent({"w": _T(w)}, grid, ct.astype(w.dtype)) \
+        * pactive[:, None].astype(w.dtype)
+    cells = grid.parents >> 1
+    canon = _canonical_parent_mask(grid, pactive)
+    cc = jnp.clip(cells, 0, out_res - 1)
+    flat_ct = ct.reshape(-1, ct.shape[-1])
+    idx = (cc[:, 0] * out_res + cc[:, 1]) * out_res + cc[:, 2]
+    ct_rows = flat_ct[idx] * canon[:, None].astype(ct.dtype)
+
+    def g27(rows):
+        return _parent_gather(grid, storage_p,
+                              cells[rows][:, None, :] * 2 + _OFFSETS_ARR,
+                              pactive)
+
+    dw = _shape_dw(
+        _dw_chunked(g27, ct_rows.astype(w.dtype), cells.shape[0]), w)
+    return dw, dx, None, None
+
+
+down_conv_parent_to_dense.defvjp(_down_p2d_fwd, _down_p2d_bwd)
+
+
+# -- transposed stride-2 conv, dense (R/4)^3 -> parents ---------------------
+
+@jax.custom_vjp
+def up_conv_dense_to_parent(w, dense, grid, pactive):
+    # pactive gates the backward only (garbage rows masked downstream)
+    return _up_conv_dense_to_parent({"w": w}, grid, dense)
+
+
+def _up_d2p_fwd(w, dense, grid, pactive):
+    return up_conv_dense_to_parent(w, dense, grid, pactive), \
+        (w, dense, grid, pactive)
+
+
+def _up_d2p_bwd(res, ct):
+    w, dense, grid, pactive = res
+    ct = ct * pactive[:, None].astype(ct.dtype)
+    # d_dense restricted to ACTIVE cells: the primal dense levels are
+    # activity-masked at every step, so upstream multiplies the cotangent by
+    # the same mask — values at inactive cells never reach any gradient
+    d_dense = _down_conv_parent_to_dense({"w": _T(w)}, grid, ct, pactive,
+                                         dense.shape[0]).astype(dense.dtype)
+    n = dense.shape[0]
+    flat = dense.reshape(n ** 3, -1)
+
+    def g27(rows):
+        src2 = grid.parents[rows][:, None, :] - _OFFSETS_ARR
+        even = jnp.all((src2 & 1) == 0, axis=-1)
+        src = src2 >> 1
+        inb = jnp.all((src >= 0) & (src < n), axis=-1) & even
+        sc = jnp.clip(src, 0, n - 1)
+        idx = (sc[..., 0] * n + sc[..., 1]) * n + sc[..., 2]
+        x = flat[idx.reshape(-1)].reshape(*idx.shape, flat.shape[-1])
+        return x * inb[..., None].astype(flat.dtype)
+
+    dw = _shape_dw(_dw_chunked(g27, ct.astype(w.dtype),
+                               grid.parents.shape[0]), w)
+    return dw, d_dense, None, None
+
+
+up_conv_dense_to_parent.defvjp(_up_d2p_fwd, _up_d2p_bwd)
+
+
+# ---------------------------------------------------------------------------
 # init
 # ---------------------------------------------------------------------------
 
@@ -341,19 +623,19 @@ def apply_hybrid(params, state, grid: sp.VoxelGrid, feats, *, training=False):
     r4 = res // 4
 
     ns = {}
-    # L0
-    x = _subm_conv_child(params["conv0"]["conv"], grid, feats)
+    # L0  (all sparse convs below run under gather-transpose custom VJPs)
+    x = subm_conv_child(params["conv0"]["conv"]["w"], feats, grid)
     c0, ns["conv0"] = _bn_relu_rows(params["conv0"], state["conv0"], x, cval, training)
     # L0 -> L1
-    x = _down_conv_child_to_parent(params["conv1"]["conv"], grid, c0)
+    x = down_conv_child_to_parent(params["conv1"]["conv"]["w"], c0, grid, pactive)
     x, ns["conv1"] = _bn_relu_rows(params["conv1"], state["conv1"], x, pactive, training)
-    x = _subm_conv_parent(params["conv2"]["conv"], grid, x, pactive)
+    x = subm_conv_parent(params["conv2"]["conv"]["w"], x, grid, pactive)
     c2, ns["conv2"] = _bn_relu_rows(params["conv2"], state["conv2"], x, pactive, training)
     # L1 -> L2 (dense from here down); activity at R/4 from parent occupancy
     occ_p = _scatter_parent_occupancy(grid, pactive)           # (R/2)^3 bool
     m2 = _maxpool2(occ_p)
     m3 = _maxpool2(m2)
-    x = _down_conv_parent_to_dense(params["conv3"]["conv"], grid, c2, pactive, r4)[None]
+    x = down_conv_parent_to_dense(params["conv3"]["conv"]["w"], c2, grid, pactive, r4)[None]
     x, bn_s = masked_batch_norm_apply(params["conv3"]["bn"], state["conv3"]["bn"], x,
                                       m2[None], training=training)
     ns["conv3"] = {"bn": bn_s}
@@ -365,11 +647,11 @@ def apply_hybrid(params, state, grid: sp.VoxelGrid, feats, *, training=False):
                                    training=training, transposed=True)
     x = c4 + up
     # L2 -> L1
-    up = _up_conv_dense_to_parent(params["conv9"]["conv"], grid, x[0])
+    up = up_conv_dense_to_parent(params["conv9"]["conv"]["w"], x[0], grid, pactive)
     up, ns["conv9"] = _bn_relu_rows(params["conv9"], state["conv9"], up, pactive, training)
     x = c2 + up
     # L1 -> L0
-    up = _up_conv_parent_to_child(params["conv11"]["conv"], grid, x, pactive)
+    up = up_conv_parent_to_child(params["conv11"]["conv"]["w"], x, grid, pactive)
     up, ns["conv11"] = _bn_relu_rows(params["conv11"], state["conv11"], up, cval, training)
     mid = c0 + up
     out = mid @ params["out_lin"]["w"]

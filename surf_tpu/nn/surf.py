@@ -124,9 +124,14 @@ def _stage_step(params, reg_state_s, static, ipts, features, key_s, carry,
     matching_volume = volume_mod.matching_and_mask_volume(
         grid, out[:, :1].astype(mdtype), matching_volume)
 
+    # the LAST stage's depth maps feed no further filtering — only the
+    # ref/src views (the gradient views) are consumed by the loss, so the
+    # remaining views' renders are skipped outright
+    last = s == static["num_stage"] - 1
     depths, occ_regs = matching_field.apply(
         key_s, static["matching_field"], ipts, matching_volume, s,
-        static["range_ratios"], None if s == 0 else depths, perturb=perturb)
+        static["range_ratios"], None if s == 0 else depths, perturb=perturb,
+        grad_views_only=last)
 
     src_idx = ipts.get("src_idx", None)
     depth_src = depths[0] if src_idx is None else \

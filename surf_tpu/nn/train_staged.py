@@ -47,7 +47,10 @@ from . import feature_net, implicit_surface, surf
 from ..losses import compute_loss
 
 
+@jax.jit
 def _zeros_like_tree(tree):
+    # jitted: under multi-host meshes the carry trees are globally-sharded
+    # arrays, which eager ops cannot touch
     return jax.tree.map(jnp.zeros_like, tree)
 
 
@@ -129,34 +132,41 @@ def _stage_fns(frozen_static, s, perturb):
     return fwd, bwd
 
 
+def _head_scene(static, loss_cfg, p_is, storages, depth_outs, features, grids,
+                matching_volume, match_features, ipts, key_render, step_f,
+                anneal):
+    """Per-scene render + loss head.  storages / grids coarse-first."""
+    stages_ff = list(zip(grids, storages))[::-1]
+    fine_first = list(features)[::-1]
+    match_ff = [jax.lax.stop_gradient(f) for f in match_features][::-1]
+
+    outputs = dict(depth_outs)
+    render_out = implicit_surface.render(
+        key_render, p_is, static["implicit_surface"],
+        ipts["rays_o"], ipts["rays_d"], ipts["near"], ipts["far"],
+        matching_volume, stages_ff, fine_first, match_ff,
+        ipts["imgs"], ipts["intrs"], ipts["c2ws"], anneal, step_f)
+    outputs.update(render_out)
+    if "pseudo_pts" in ipts:
+        outputs["pseudo_sdf"] = implicit_surface.pseudo_sdf(
+            p_is, static["implicit_surface"], ipts["pseudo_pts"],
+            stages_ff)
+    res = compute_loss(loss_cfg, outputs, ipts, step_f, "train")
+    res["psnr"] = 20.0 * jnp.log10(1.0 / jnp.sqrt(jnp.mean(
+        (outputs["color_fine"] - ipts["color"]) ** 2) + 1e-12))
+    return res["loss"], res
+
+
 @functools.lru_cache(maxsize=8)
 def _head_fns(frozen_static, frozen_loss_cfg):
     static = surf._thaw(frozen_static)
     loss_cfg = surf._thaw(frozen_loss_cfg)
-    num_stage = static["num_stage"]
 
     def head(p_is, storages, depth_outs, features, grids, matching_volume,
              match_features, ipts, key_render, step_f, anneal):
-        """storages / grids coarse-first (stage order)."""
-        stages_ff = list(zip(grids, storages))[::-1]
-        fine_first = list(features)[::-1]
-        match_ff = [jax.lax.stop_gradient(f) for f in match_features][::-1]
-
-        outputs = dict(depth_outs)
-        render_out = implicit_surface.render(
-            key_render, p_is, static["implicit_surface"],
-            ipts["rays_o"], ipts["rays_d"], ipts["near"], ipts["far"],
-            matching_volume, stages_ff, fine_first, match_ff,
-            ipts["imgs"], ipts["intrs"], ipts["c2ws"], anneal, step_f)
-        outputs.update(render_out)
-        if "pseudo_pts" in ipts:
-            outputs["pseudo_sdf"] = implicit_surface.pseudo_sdf(
-                p_is, static["implicit_surface"], ipts["pseudo_pts"],
-                stages_ff)
-        res = compute_loss(loss_cfg, outputs, ipts, step_f, "train")
-        res["psnr"] = 20.0 * jnp.log10(1.0 / jnp.sqrt(jnp.mean(
-            (outputs["color_fine"] - ipts["color"]) ** 2) + 1e-12))
-        return res["loss"], res
+        return _head_scene(static, loss_cfg, p_is, storages, depth_outs,
+                           features, grids, matching_volume, match_features,
+                           ipts, key_render, step_f, anneal)
 
     @jax.jit
     def fwd_bwd(p_is, storages, depth_outs, features, grids, matching_volume,
@@ -171,20 +181,189 @@ def _head_fns(frozen_static, frozen_loss_cfg):
 
 
 # ---------------------------------------------------------------------------
+# multi-chip: scene-data-parallel variants of the per-stage graphs
+#
+# The reference trains DDP over scenes (runner.py:102, scripts/run.sh).  The
+# staged path cannot wrap a host loop in one vmapped jit, so instead every
+# per-stage graph is shard_map-ped over a ``data`` mesh axis: batches carry a
+# leading scene axis (one scene per device), params stay replicated, and the
+# only communication is the psum of parameter gradients / metrics — the same
+# ICI all-reduce pattern as the monolithic DP step (parallel/mesh.py).
+# Zero-weight scenes (ragged-epoch padding) scale their loss to zero.
+# ---------------------------------------------------------------------------
+
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+_AX = "data"
+
+
+def _wmean_tree(tree, weights, wsum):
+    def wm(x):
+        w = weights.reshape((-1,) + (1,) * (x.ndim - 1))
+        return jax.lax.psum(jnp.sum(x * w, axis=0), _AX) / wsum
+    return jax.tree.map(wm, tree)
+
+
+def _psum_sum_tree(tree):
+    return jax.tree.map(lambda x: jax.lax.psum(jnp.sum(x, axis=0), _AX), tree)
+
+
+@functools.lru_cache(maxsize=8)
+def _feat_fns_dp(mesh):
+    def fwd_local(fn_params, imgs):
+        return jax.vmap(lambda im: feature_net.apply(fn_params, im))(imgs)
+
+    fwd = jax.jit(shard_map(fwd_local, mesh=mesh,
+                            in_specs=(P(), P(_AX)), out_specs=P(_AX)))
+
+    def bwd_local(fn_params, imgs, cot):
+        _, vjp = jax.vjp(
+            lambda p: jax.vmap(lambda im: feature_net.apply(p, im))(imgs),
+            fn_params)
+        g = vjp(list(cot))[0]
+        return jax.tree.map(lambda x: jax.lax.psum(x, _AX), g)
+
+    bwd = jax.jit(shard_map(bwd_local, mesh=mesh,
+                            in_specs=(P(), P(_AX), P(_AX)), out_specs=P()))
+    return fwd, bwd
+
+
+@functools.lru_cache(maxsize=64)
+def _stage_fns_dp(frozen_static, s, perturb, mesh):
+    static = surf._thaw(frozen_static)
+
+    def run(params, reg_state_s, ipts, features, key_s, carry):
+        return surf._stage_step(params, reg_state_s, static, ipts, features,
+                                key_s, carry, s=s, perturb=perturb,
+                                training=True)
+
+    def fwd_local(params, reg_state_s, ipts, features, keys, grid_in, rest_in,
+                  weights):
+        def per_scene(ipts_i, feats_i, key_i, grid_i, rest_i):
+            carry = (grid_i, *(rest_i if rest_i is not None
+                               else (None, None, None)))
+            (grid, mid, depths, mv), stage_out, reg_s = run(
+                params, reg_state_s, ipts_i, feats_i, key_i, carry)
+            return grid, (mid, depths, mv), stage_out, reg_s
+
+        if s == 0:
+            grid, rest, stage_out, reg_s = jax.vmap(
+                lambda a, b, c: per_scene(a, b, c, None, None)
+            )(ipts, features, keys)
+        else:
+            grid, rest, stage_out, reg_s = jax.vmap(per_scene)(
+                ipts, features, keys, grid_in, rest_in)
+        wsum = jax.lax.psum(jnp.sum(weights), _AX)
+        # BN running stats weight-averaged over scenes (the DDP analogue of
+        # shared batch statistics)
+        reg_s = _wmean_tree(reg_s, weights, wsum)
+        return grid, rest, stage_out, reg_s
+
+    in_sp = (P(), P(), P(_AX), P(_AX), P(_AX), P(_AX), P(_AX), P(_AX))
+    fwd = jax.jit(shard_map(fwd_local, mesh=mesh, in_specs=in_sp,
+                            out_specs=(P(_AX), P(_AX), P(_AX), P())))
+
+    def bwd_local(params, reg_state_s, ipts, features, keys, grid_in, rest_in,
+                  cot_rest_out, cot_stage_out):
+        has_carry = rest_in is not None and rest_in[0] is not None
+
+        def per_scene(ipts_i, feats_i, key_i, grid_i, rest_i, ct_rest_i,
+                      ct_so_i):
+            if has_carry:
+                def f(p, fe, rest):
+                    carry = (grid_i, *rest)
+                    (g, mid, depths, mv), so, _ = run(
+                        p, reg_state_s, ipts_i, fe, key_i, carry)
+                    return (mid, depths, mv), so
+
+                _, vjp = jax.vjp(f, params, feats_i, rest_i)
+                gp, gf, gr = vjp((ct_rest_i, ct_so_i))
+            else:
+                def f0(p, fe):
+                    carry = (grid_i, None, None, None)
+                    (g, mid, depths, mv), so, _ = run(
+                        p, reg_state_s, ipts_i, fe, key_i, carry)
+                    return (mid, depths, mv), so
+
+                _, vjp = jax.vjp(f0, params, feats_i)
+                gp, gf = vjp((ct_rest_i, ct_so_i))
+                gr = None
+            return gp, gf, gr
+
+        g_params, g_feats, g_rest = jax.vmap(per_scene)(
+            ipts, features, keys, grid_in, rest_in, cot_rest_out,
+            cot_stage_out)
+        g_params = _psum_sum_tree(g_params)
+        return g_params, g_feats, g_rest
+
+    in_sp_b = in_sp + (P(_AX),)
+    bwd = jax.jit(shard_map(bwd_local, mesh=mesh, in_specs=in_sp_b,
+                            out_specs=(P(), P(_AX), P(_AX))))
+    return fwd, bwd
+
+
+@functools.lru_cache(maxsize=8)
+def _head_fns_dp(frozen_static, frozen_loss_cfg, mesh):
+    static = surf._thaw(frozen_static)
+    loss_cfg = surf._thaw(frozen_loss_cfg)
+
+    def local(p_is, storages, depth_outs, features, grids, matching_volume,
+              match_features, ipts, keys, weights, step_f, anneal):
+        wsum = jax.lax.psum(jnp.sum(weights), _AX)
+
+        def per_scene(sto, dout, feats, grds, mv, mfeats, ipts_i, key_i, w_i):
+            def f(p_is_, sto_, dout_, feats_):
+                loss, res = _head_scene(static, loss_cfg, p_is_, sto_, dout_,
+                                        feats_, grds, mv, mfeats, ipts_i,
+                                        key_i, step_f, anneal)
+                # scene weight folded into the loss: every cotangent flowing
+                # back through the stages carries the 1/sum(w) scaling, so
+                # the final grads are the weighted scene mean after psum
+                return loss * (w_i / wsum), res
+
+            grad_fn = jax.value_and_grad(f, argnums=(0, 1, 2, 3),
+                                         has_aux=True)
+            (loss_w, res), (g_is, g_sto, g_dout, g_feats) = grad_fn(
+                p_is, sto, dout, feats)
+            return loss_w, res, g_is, g_sto, g_dout, g_feats
+
+        loss_w, res, g_is, g_sto, g_dout, g_feats = jax.vmap(per_scene)(
+            storages, depth_outs, features, grids, matching_volume,
+            match_features, ipts, keys, weights)
+        loss = jax.lax.psum(jnp.sum(loss_w), _AX)
+        res = _wmean_tree(res, weights, wsum)
+        g_is = _psum_sum_tree(g_is)
+        return loss, res, g_is, g_sto, g_dout, g_feats
+
+    in_sp = (P(), P(_AX), P(_AX), P(_AX), P(_AX), P(_AX), P(_AX), P(_AX),
+             P(_AX), P(_AX), P(), P())
+    return jax.jit(shard_map(
+        local, mesh=mesh, in_specs=in_sp,
+        out_specs=(P(), P(), P(), P(_AX), P(_AX), P(_AX))))
+
+
+# ---------------------------------------------------------------------------
 # orchestrator
 # ---------------------------------------------------------------------------
 
 def value_and_grad_staged(params, state, static, loss_cfg, batch, key,
-                          step_f, anneal, *, perturb=True):
+                          step_f, anneal, *, perturb=True, mesh=None,
+                          weights=None):
     """Full train-step value+grad with per-stage graphs.
 
     Returns (res, grads, new_state) — the same quantities the monolithic
     ``jax.value_and_grad`` path produces, computed without ever building the
     whole cascade into one XLA graph.
+
+    With ``mesh`` the batch carries a leading scene axis sharded over the
+    mesh's ``data`` axis (one scene per device) and every per-stage graph is
+    shard_map-ped; ``weights`` (n_scenes,) zero-masks ragged-epoch padding.
     """
     num_stage = static["num_stage"]
     frozen_static = surf._freeze(static)
     frozen_loss = surf._freeze(loss_cfg)
+    dp = mesh is not None
     prof = os.environ.get("SURF_STAGED_PROFILE", "0") != "0"
 
     def tick(label, out):
@@ -197,10 +376,25 @@ def value_and_grad_staged(params, state, static, loss_cfg, batch, key,
         return out
     tick.t0 = time.time()
 
-    k_build, k_render = jax.random.split(key)
-    keys = jax.random.split(k_build, num_stage)
+    if dp:
+        n = batch["imgs"].shape[0]
+        if weights is None:
+            weights = jnp.ones((n,), jnp.float32)
+        # per-scene independent randomness (the reference's per-rank streams),
+        # derived so scene i's stream equals a single-device run with
+        # split(key, n)[i] — keeps DP bit-comparable to per-scene runs
+        scene_keys = jax.random.split(key, n)
+        kb_kr = jax.vmap(jax.random.split)(scene_keys)    # (n, 2, 2)
+        k_render = kb_kr[:, 1]
+        stage_keys = jax.vmap(
+            lambda kb: jax.random.split(kb, num_stage))(kb_kr[:, 0])
+        keys = [stage_keys[:, s] for s in range(num_stage)]
+        feat_fwd, feat_bwd = _feat_fns_dp(mesh)
+    else:
+        k_build, k_render = jax.random.split(key)
+        keys = jax.random.split(k_build, num_stage)
+        feat_fwd, feat_bwd = _feat_fns()
 
-    feat_fwd, feat_bwd = _feat_fns()
     features = feat_fwd(params["feature_network"], batch["imgs"])
     match_features = feat_fwd(state["match_feature_network"], batch["imgs"])
 
@@ -209,12 +403,18 @@ def value_and_grad_staged(params, state, static, loss_cfg, batch, key,
     grid, rest = None, None
     stage_outs, grids, new_reg_state = [], [], []
     for s in range(num_stage):
-        fwd, _ = _stage_fns(frozen_static, s, perturb)
         grids_in.append(grid)
         rests_in.append(rest)
-        grid, rest, stage_out, reg_s = fwd(
-            params, state["reg_network"][s], batch, features, keys[s],
-            grid, rest)
+        if dp:
+            fwd, _ = _stage_fns_dp(frozen_static, s, perturb, mesh)
+            grid, rest, stage_out, reg_s = fwd(
+                params, state["reg_network"][s], batch, features, keys[s],
+                grid, rest, weights)
+        else:
+            fwd, _ = _stage_fns(frozen_static, s, perturb)
+            grid, rest, stage_out, reg_s = fwd(
+                params, state["reg_network"][s], batch, features, keys[s],
+                grid, rest)
         tick(f"fwd stage {s}", rest)
         grids.append(grid)
         stage_outs.append(stage_out)
@@ -222,7 +422,6 @@ def value_and_grad_staged(params, state, static, loss_cfg, batch, key,
     matching_volume = rest[2]
 
     # ---- render + loss head ----
-    head = _head_fns(frozen_static, frozen_loss)
     storages = [so["storage"] for so in stage_outs]
     depth_outs = {}
     for s in range(num_stage):
@@ -230,10 +429,18 @@ def value_and_grad_staged(params, state, static, loss_cfg, batch, key,
         depth_outs[f"depth_src_stage{s}"] = stage_outs[s]["depth_src"]
         depth_outs[f"occ_reg_stage{s}"] = stage_outs[s]["occ_reg"]
 
-    loss, res, g_is, g_storages, g_depth_outs, g_feats = head(
-        params["implicit_surface"], storages, depth_outs, features, grids,
-        matching_volume, match_features, batch, k_render,
-        jnp.float32(step_f), jnp.float32(anneal))
+    if dp:
+        head = _head_fns_dp(frozen_static, frozen_loss, mesh)
+        loss, res, g_is, g_storages, g_depth_outs, g_feats = head(
+            params["implicit_surface"], storages, depth_outs, features,
+            grids, matching_volume, match_features, batch, k_render, weights,
+            jnp.float32(step_f), jnp.float32(anneal))
+    else:
+        head = _head_fns(frozen_static, frozen_loss)
+        loss, res, g_is, g_storages, g_depth_outs, g_feats = head(
+            params["implicit_surface"], storages, depth_outs, features,
+            grids, matching_volume, match_features, batch, k_render,
+            jnp.float32(step_f), jnp.float32(anneal))
     tick("head", loss)
 
     # ---- backward through the cascade ----
@@ -250,7 +457,6 @@ def value_and_grad_staged(params, state, static, loss_cfg, batch, key,
     del match_features, grids
 
     for s in reversed(range(num_stage)):
-        _, bwd = _stage_fns(frozen_static, s, perturb)
         cot_stage_out = {
             "storage": g_storages[s],
             "depth": g_depth_outs.pop(f"depth_stage{s}"),
@@ -259,6 +465,10 @@ def value_and_grad_staged(params, state, static, loss_cfg, batch, key,
         }
         g_storages[s] = None
         storages[s] = None
+        if dp:
+            _, bwd = _stage_fns_dp(frozen_static, s, perturb, mesh)
+        else:
+            _, bwd = _stage_fns(frozen_static, s, perturb)
         g_params_s, g_feats_s, cot_rest = bwd(
             params, state["reg_network"][s], batch, features, keys[s],
             grids_in[s], rests_in[s], cot_rest, cot_stage_out)
@@ -280,9 +490,10 @@ def value_and_grad_staged(params, state, static, loss_cfg, batch, key,
     return res, grads, new_state
 
 
-def make_staged_train_step(optimizer, static, loss_cfg):
+def make_staged_train_step(optimizer, static, loss_cfg, mesh=None):
     """Train step mirroring runner._train_step_fn's contract but with the
-    staged value+grad and a separately-jitted optimizer update."""
+    staged value+grad and a separately-jitted optimizer update.  With
+    ``mesh``, batches carry a leading scene axis sharded over ``data``."""
 
     import optax
 
@@ -291,9 +502,11 @@ def make_staged_train_step(optimizer, static, loss_cfg):
         updates, new_opt = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), new_opt
 
-    def step(params, state, opt_state, batch, key, step_f, anneal):
+    def step(params, state, opt_state, batch, key, step_f, anneal,
+             weights=None):
         res, grads, new_state = value_and_grad_staged(
-            params, state, static, loss_cfg, batch, key, step_f, anneal)
+            params, state, static, loss_cfg, batch, key, step_f, anneal,
+            mesh=mesh, weights=weights)
         new_params, new_opt = opt_step(params, grads, opt_state)
         return new_params, new_state, new_opt, res
 

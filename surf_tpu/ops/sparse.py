@@ -441,12 +441,17 @@ def occupied_blocks_host(stages, grid_res: int, block: int):
         lo = np.clip((cc.astype(np.int64) * (R - 1)) // res // B, 0, nb - 1)
         hi = np.clip(((cc.astype(np.int64) + 1) * (R - 1)) // res // B,
                      0, nb - 1)
-        for dx in (0, 1):
-            for dy in (0, 1):
-                for dz in (0, 1):
-                    occ[(hi if dx else lo)[:, 0],
-                        (hi if dy else lo)[:, 1],
-                        (hi if dz else lo)[:, 2]] = True
+        # mark the FULL lo..hi block range per axis: a voxel's lattice
+        # footprint spans span+1 blocks along an axis when (R-1)/res > B
+        # (coarse grids at small block sizes) — corner-only marking would
+        # skip interior blocks
+        span = int((hi - lo).max()) if hi.size else 0
+        for dx in range(span + 1):
+            bx = np.minimum(lo[:, 0] + dx, hi[:, 0])
+            for dy in range(span + 1):
+                by = np.minimum(lo[:, 1] + dy, hi[:, 1])
+                for dz in range(span + 1):
+                    occ[bx, by, np.minimum(lo[:, 2] + dz, hi[:, 2])] = True
     return occ
 
 

@@ -41,6 +41,36 @@ def shard_batch(batch, mesh, axis_name="data"):
     return {k: jax.device_put(jnp.asarray(v), sharding) for k, v in batch.items()}
 
 
+def process_slice(n_global):
+    """(start, count) of this process's scenes within a global super-batch of
+    ``n_global`` = jax.device_count() scenes.  A 1-D mesh over jax.devices()
+    orders devices by process, so process p owns the contiguous slice
+    [p*local, (p+1)*local)."""
+    local = jax.local_device_count()
+    return jax.process_index() * local, local
+
+
+def make_global_batch(local_batch, mesh, axis_name="data"):
+    """Assemble a globally-sharded batch from PROCESS-LOCAL scene stacks.
+
+    ``local_batch``: dict of numpy arrays with leading axis =
+    jax.local_device_count() (this process's scenes only).  Returns global
+    jax.Arrays of leading axis jax.device_count() without any process ever
+    materializing remote scenes — the multi-host replacement for a global
+    device_put (reference: DistributedSampler keeps per-rank subsets,
+    datasets/__init__.py:38).  Single-process this equals shard_batch.
+    """
+    sharding = NamedSharding(mesh, P(axis_name))
+    n_global = mesh.devices.size
+
+    def put(v):
+        v = np.asarray(v)
+        global_shape = (n_global,) + v.shape[1:]
+        return jax.make_array_from_process_local_data(sharding, v, global_shape)
+
+    return {k: put(v) for k, v in local_batch.items()}
+
+
 def make_dp_train_step(optimizer, static, loss_cfg, mesh, axis_name="data"):
     """Build the jitted data-parallel train step.
 
@@ -64,15 +94,25 @@ def make_dp_train_step(optimizer, static, loss_cfg, mesh, axis_name="data"):
         return res["loss"], (res, new_state)
 
     @partial(jax.jit, donate_argnums=(0, 2))
-    def step(params, state, opt_state, batch, keys, step_f, anneal):
+    def step(params, state, opt_state, batch, keys, weights, step_f, anneal):
+        """``weights`` (n_scenes,): 1 for real scenes, 0 for tail padding —
+        the epoch never drops scenes (ragged last super-batch is padded with
+        zero-weight duplicates instead of being discarded)."""
+
         def loss_fn(p):
             losses, (reses, new_states) = jax.vmap(
                 per_scene, in_axes=(None, None, 0, 0, None, None)
             )(p, state, batch, keys, step_f, anneal)
-            # scalar metrics averaged across chips (reference:
+            denom = jnp.maximum(jnp.sum(weights), 1.0)
+
+            def wmean(x):
+                w = weights.reshape((-1,) + (1,) * (x.ndim - 1))
+                return jnp.sum(x * w, axis=0) / denom
+
+            # scalar metrics weight-averaged across chips (reference:
             # utils/distribute.py reduce_scalar_outputs)
-            return jnp.mean(losses), (jax.tree.map(jnp.mean, reses),
-                                      jax.tree.map(lambda x: jnp.mean(x, 0), new_states))
+            return (jnp.sum(losses * weights) / denom,
+                    (jax.tree.map(wmean, reses), jax.tree.map(wmean, new_states)))
 
         (loss, (res, new_state)), grads = \
             jax.value_and_grad(loss_fn, has_aux=True)(params)

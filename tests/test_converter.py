@@ -206,34 +206,36 @@ def test_sdf_mlp_weight_norm_activations():
     np.testing.assert_allclose(np.asarray(got), ref, atol=3e-5, rtol=1e-4)
 
 
-def test_sparse_conv3d_kernel_order_vs_dense():
-    """Lock the (k^3, in, out) -> (k,k,k,in,out) reshape convention against
-    torch's dense conv3d: enumerating offsets x-major (z fastest) — the
-    documented 'xyz' order — must reproduce torch.nn.functional.conv3d when
-    the same per-offset slices are assembled into a dense kernel."""
+def test_sparse_conv3d_kernel_order():
+    """Pin the torchsparse-2.1.0 tap order end-to-end (VERDICT r2 #3).
+
+    torchsparse/nn/utils/kernel.py get_kernel_offsets (odd kernels):
+        offsets = [[x, y, z] for z in zs for y in ys for x in xs]
+    i.e. tap t -> offset (xs[t % k], ys[(t//k) % k], zs[t // k^2]), and the
+    conv computes out[p] += W[t] @ in[p + offset_t].  A kernel constructed
+    with exactly that enumeration, run through _sparse_conv3d, must
+    reproduce the cross-correlation against torch's dense conv3d.
+    """
     torch.manual_seed(4)
     k, cin, cout = 3, 4, 5
     w_flat = torch.randn(k ** 3, cin, cout)
+    offs = [-1, 0, 1]
 
-    # dense torch kernel assembled with the SAME convention: index
-    # o = (ox*k + oy)*k + oz
+    # dense torch kernel assembled tap-by-tap with the torchsparse
+    # enumeration.  torch conv3d computes (with flipped-kernel convention)
+    # out[p] = sum_d W[:, :, d] x[p + d - 1]  (F.conv3d is cross-correlation)
+    # so offset (ox,oy,oz) lands at kernel index (ox+1, oy+1, oz+1).
     w_dense = torch.zeros(cout, cin, k, k, k)
-    for o in range(k ** 3):
-        ox, oy, oz = o // (k * k), (o // k) % k, o % k
-        w_dense[:, :, ox, oy, oz] = w_flat[o].T
+    for t in range(k ** 3):
+        ox, oy, oz = offs[t % k], offs[(t // k) % k], offs[t // (k * k)]
+        w_dense[:, :, ox + 1, oy + 1, oz + 1] = w_flat[t].T
 
     x = torch.randn(1, cin, 8, 8, 8)
     with torch.no_grad():
         ref = torch.nn.functional.conv3d(x, w_dense, padding=k // 2).numpy()
 
-    conv = _sparse_conv3d(
-        {"p.kernel": w_flat.numpy()}, "p", order="xyz")
+    conv = _sparse_conv3d({"p.kernel": w_flat.numpy()}, "p")
     got = conv3d_apply({"w": jnp.asarray(conv["w"])},
                        jnp.asarray(x.numpy().transpose(0, 2, 3, 4, 1)))
     np.testing.assert_allclose(np.asarray(got).transpose(0, 4, 1, 2, 3), ref,
                                atol=1e-4, rtol=1e-4)
-
-    # and 'zyx' is exactly the axes-transposed kernel, nothing else
-    conv_z = _sparse_conv3d({"p.kernel": w_flat.numpy()}, "p", order="zyx")
-    np.testing.assert_allclose(conv_z["w"],
-                               np.transpose(conv["w"], (2, 1, 0, 3, 4)))

@@ -72,6 +72,139 @@ def test_inactive_rows_are_zero():
     np.testing.assert_allclose(np.asarray(mid)[dead], 0.0, atol=1e-6)
 
 
+def _grad_pair(f_custom, f_raw, args_c, args_r, wrt_c, wrt_r):
+    gc = jax.grad(f_custom, argnums=wrt_c)(*args_c)
+    gr = jax.grad(f_raw, argnums=wrt_r)(*args_r)
+    for a, b in zip(gc, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_custom_vjp_subm_child():
+    """subm_conv_child's gather-transpose VJP == XLA autodiff of the raw op."""
+    grid, feats = make_grid(res=16, p_keep=0.4, c_in=6)
+    w = jnp.asarray(RNG.randn(3, 3, 3, 6, 5).astype(np.float32)) * 0.2
+    ct = jnp.asarray(RNG.randn(grid.capacity, 5).astype(np.float32))
+    ct = ct * grid.cvalid[:, None]  # downstream ops always mask child rows
+
+    _grad_pair(
+        lambda w_, x_: jnp.sum(reg_net.subm_conv_child(w_, x_, grid) * ct),
+        lambda w_, x_: jnp.sum(reg_net._subm_conv_child({"w": w_}, grid, x_) * ct),
+        (w, feats), (w, feats), (0, 1), (0, 1))
+
+
+def test_custom_vjp_subm_parent():
+    grid, _ = make_grid(res=16, p_keep=0.4)
+    P = grid.parents.shape[0]
+    pactive = grid.pvalid & jnp.any(grid.cvalid.reshape(-1, 8), axis=1)
+    xp = jnp.asarray(RNG.randn(P, 6).astype(np.float32)) * pactive[:, None]
+    w = jnp.asarray(RNG.randn(3, 3, 3, 6, 5).astype(np.float32)) * 0.2
+    ct = jnp.asarray(RNG.randn(P, 5).astype(np.float32)) * pactive[:, None]
+
+    _grad_pair(
+        lambda w_, x_: jnp.sum(
+            reg_net.subm_conv_parent(w_, x_, grid, pactive) * ct),
+        lambda w_, x_: jnp.sum(
+            reg_net._subm_conv_parent({"w": w_}, grid, x_, pactive) * ct),
+        (w, xp), (w, xp), (0, 1), (0, 1))
+
+
+def test_custom_vjp_down_child_to_parent():
+    grid, feats = make_grid(res=16, p_keep=0.4, c_in=6)
+    P = grid.parents.shape[0]
+    pactive = grid.pvalid & jnp.any(grid.cvalid.reshape(-1, 8), axis=1)
+    w = jnp.asarray(RNG.randn(3, 3, 3, 6, 5).astype(np.float32)) * 0.2
+    # ct masked by pactive — the contract the custom bwd relies on
+    ct = jnp.asarray(RNG.randn(P, 5).astype(np.float32)) * pactive[:, None]
+
+    _grad_pair(
+        lambda w_, x_: jnp.sum(
+            reg_net.down_conv_child_to_parent(w_, x_, grid, pactive) * ct),
+        lambda w_, x_: jnp.sum(
+            reg_net._down_conv_child_to_parent({"w": w_}, grid, x_) * ct),
+        (w, feats), (w, feats), (0, 1), (0, 1))
+
+
+def test_custom_vjp_up_parent_to_child():
+    grid, _ = make_grid(res=16, p_keep=0.4)
+    P = grid.parents.shape[0]
+    pactive = grid.pvalid & jnp.any(grid.cvalid.reshape(-1, 8), axis=1)
+    xp = jnp.asarray(RNG.randn(P, 6).astype(np.float32)) * pactive[:, None]
+    w = jnp.asarray(RNG.randn(3, 3, 3, 6, 5).astype(np.float32)) * 0.2
+    ct = jnp.asarray(RNG.randn(grid.capacity, 5).astype(np.float32))
+
+    _grad_pair(
+        lambda w_, x_: jnp.sum(
+            reg_net.up_conv_parent_to_child(w_, x_, grid, pactive) * ct),
+        lambda w_, x_: jnp.sum(
+            reg_net._up_conv_parent_to_child({"w": w_}, grid, x_, pactive) * ct),
+        (w, xp), (w, xp), (0, 1), (0, 1))
+
+
+def test_custom_vjp_down_parent_to_dense():
+    grid, _ = make_grid(res=16, p_keep=0.4)
+    P = grid.parents.shape[0]
+    r4 = grid.res // 4
+    pactive = grid.pvalid & jnp.any(grid.cvalid.reshape(-1, 8), axis=1)
+    xp = jnp.asarray(RNG.randn(P, 6).astype(np.float32)) * pactive[:, None]
+    w = jnp.asarray(RNG.randn(3, 3, 3, 6, 5).astype(np.float32)) * 0.2
+    # dense cotangent masked by the written-cell set (= m2 downstream)
+    occ = reg_net._scatter_parent_occupancy(grid, pactive)
+    m2 = reg_net._maxpool2(occ).astype(np.float32)[..., None]
+    ct = jnp.asarray(RNG.randn(r4, r4, r4, 5).astype(np.float32)) * m2
+
+    _grad_pair(
+        lambda w_, x_: jnp.sum(
+            reg_net.down_conv_parent_to_dense(w_, x_, grid, pactive, r4) * ct),
+        lambda w_, x_: jnp.sum(
+            reg_net._down_conv_parent_to_dense({"w": w_}, grid, x_, pactive, r4) * ct),
+        (w, xp), (w, xp), (0, 1), (0, 1))
+
+
+def test_custom_vjp_up_dense_to_parent():
+    grid, _ = make_grid(res=16, p_keep=0.4)
+    P = grid.parents.shape[0]
+    r4 = grid.res // 4
+    pactive = grid.pvalid & jnp.any(grid.cvalid.reshape(-1, 8), axis=1)
+    occ = reg_net._scatter_parent_occupancy(grid, pactive)
+    m2 = reg_net._maxpool2(occ).astype(np.float32)[..., None]
+    dense_raw = jnp.asarray(RNG.randn(r4, r4, r4, 6).astype(np.float32))
+    w = jnp.asarray(RNG.randn(3, 3, 3, 6, 5).astype(np.float32)) * 0.2
+    ct = jnp.asarray(RNG.randn(P, 5).astype(np.float32)) * pactive[:, None]
+
+    # the op's real input is an m2-masked dense level: feeding dense*m2
+    # makes the active-cells-only cotangent truncation exact
+    _grad_pair(
+        lambda w_, d_: jnp.sum(
+            reg_net.up_conv_dense_to_parent(w_, d_ * m2, grid, pactive) * ct),
+        lambda w_, d_: jnp.sum(
+            reg_net._up_conv_dense_to_parent({"w": w_}, grid, d_ * m2) * ct),
+        (w, dense_raw), (w, dense_raw), (0, 1), (0, 1))
+
+
+def test_hybrid_gradients_match_dense():
+    """End-to-end U-Net gradients: the hybrid path (custom gather-transpose
+    VJPs) must match the dense path (XLA conv autodiff) — params and input
+    features both."""
+    grid, feats = make_grid(res=16, p_keep=0.5)
+    params, state = reg_net.init(jax.random.PRNGKey(3), d_in=8, d_out=4, d_base=4)
+    r1 = jnp.asarray(RNG.randn(grid.capacity, 4).astype(np.float32))
+    r2 = jnp.asarray(RNG.randn(grid.capacity, 4).astype(np.float32))
+
+    def loss(apply_fn, p, f):
+        out, mid, _ = apply_fn(p, state, grid, f, training=False)
+        return jnp.sum(out * r1) + jnp.sum(mid * r2)
+
+    gd = jax.grad(lambda p, f: loss(reg_net.apply_dense, p, f),
+                  argnums=(0, 1))(params, feats)
+    gh = jax.grad(lambda p, f: loss(reg_net.apply_hybrid, p, f),
+                  argnums=(0, 1))(params, feats)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-4),
+        gh, gd)
+
+
 def test_conv3d_stride2_slabbed_matches():
     """The x-slabbed stride-2 conv == the monolithic one (training at fine
     stages slabs to bound the conv-backward temporaries)."""

@@ -95,6 +95,57 @@ def test_staged_train_step_updates(setup):
     assert delta > 0
 
 
+def test_staged_dp_matches_per_scene_mean(setup):
+    """Multi-chip staged training (shard_map over a ``data`` mesh): the
+    parameter gradients must equal the weighted per-scene mean of
+    single-device staged runs (DDP semantics, reference runner.py:102)."""
+    from surf_tpu.parallel import make_mesh, stack_batches
+    from surf_tpu.config import ConfigFactory  # noqa: F401
+
+    params, state, static, loss_cfg, _ = setup
+    conf = tiny_conf()
+    conf["train_dataset"]["n_rays"] = 64
+    conf["train_dataset"]["n_scenes"] = 2
+    ds = SyntheticDataset(conf["train_dataset"], "train")
+    items = [ds[0], ds[1]]
+
+    n_dev = 4
+    mesh = make_mesh(jax.devices()[:n_dev])
+    # scenes [A, B, A-pad, B-pad] with the pads zero-weighted: the DP result
+    # must equal mean(grad_A, grad_B)
+    batch = {k: jnp.asarray(v) for k, v in
+             stack_batches([items[0], items[1], items[0], items[1]]).items()}
+    weights = jnp.asarray([1.0, 1.0, 0.0, 0.0])
+
+    key = jax.random.PRNGKey(11)
+    res_dp, grads_dp, state_dp = train_staged.value_and_grad_staged(
+        params, state, static, loss_cfg, batch, key, 1.0, 0.5,
+        mesh=mesh, weights=weights)
+
+    # single-device references with the same per-scene keys (the DP path
+    # derives scene i's stream from split(key, n)[i])
+    n = batch["imgs"].shape[0]
+    ref_grads, ref_losses = [], []
+    for i in range(2):
+        b_i = {k: v[i] for k, v in batch.items()}
+        res_i, grads_i, _ = train_staged.value_and_grad_staged(
+            params, state, static, loss_cfg, b_i,
+            jax.random.split(key, n)[i], 1.0, 0.5)
+        ref_grads.append(grads_i)
+        ref_losses.append(float(res_i["loss"]))
+
+    mean_grads = jax.tree.map(lambda a, b: (np.asarray(a) + np.asarray(b)) / 2,
+                              ref_grads[0], ref_grads[1])
+    assert np.isclose(float(res_dp["loss"]), np.mean(ref_losses), rtol=1e-4)
+
+    flat_dp, _ = jax.tree_util.tree_flatten(grads_dp)
+    flat_ref, _ = jax.tree_util.tree_flatten(mean_grads)
+    for gd, gr in zip(flat_dp, flat_ref):
+        gd, gr = np.asarray(gd), np.asarray(gr)
+        scale = max(np.abs(gr).max(), np.abs(gd).max(), 1e-8)
+        assert np.abs(gd - gr).max() / scale < 5e-4
+
+
 def test_staged_midscale_compiles_and_runs():
     """Mid-scale regression (VERDICT r1 #9): a 3-stage cascade to 192^3 must
     compile and run a full staged train step on CPU.  Round 1's scale wall

@@ -24,18 +24,14 @@ def main():
     parser.add_argument("--dst", type=str, required=True, help="output .npz")
     parser.add_argument("--num_stage", type=int, default=4)
     parser.add_argument("--sdf_layers", type=int, default=7)
-    parser.add_argument("--sparse_kernel_order", type=str, default="xyz",
-                        choices=["xyz", "zyx"],
-                        help="torchsparse kernel offset enumeration order; "
-                             "verify with activation matching if meshes look "
-                             "wrong")
     args = parser.parse_args()
 
     sd = load_torch_checkpoint(args.src)
     print(f"loaded {len(sd)} tensors from {args.src}")
+    # torchsparse kernel tap order is fixed (torchsparse 2.1.0
+    # get_kernel_offsets; see convert/torch_converter._sparse_conv3d)
     params, state = convert_checkpoint(
-        sd, num_stage=args.num_stage, sdf_layers=args.sdf_layers,
-        sparse_kernel_order=args.sparse_kernel_order)
+        sd, num_stage=args.num_stage, sdf_layers=args.sdf_layers)
     tree = {"epoch": -1, "model": params, "state": state}
     save_checkpoint(args.dst, tree)
     n_params = sum(np.asarray(x).size for x in
