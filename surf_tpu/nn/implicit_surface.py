@@ -148,6 +148,86 @@ def prepare_patch_features(features, match_features, step):
     return jnp.where(use_a, warp_a, warp_b)
 
 
+def neus_alpha_weights(sdf, gradients, dirs, dists, pts, vmask_f, inv_s,
+                       cos_anneal_ratio):
+    """NeuS section-estimate alpha compositing (reference
+    implicit_surface.py:126-156): annealed iter_cos, sigmoid-CDF section
+    estimates, cumprod transmittance, sphere masks.  Pure math — golden
+    -tested against a torch port of the reference block
+    (tests/test_networks.py::test_neus_core_golden).
+
+    sdf (N,1), gradients/dirs (N,3), dists (nr,ns), pts (N,3), vmask_f (N,).
+    Returns (alpha, weights, inside_sphere, relax_inside) each (nr, ns).
+    """
+    nr, ns = dists.shape
+    true_cos = jnp.sum(dirs * gradients, axis=-1, keepdims=True)
+    iter_cos = -(jax.nn.relu(-true_cos * 0.5 + 0.5) * (1.0 - cos_anneal_ratio)
+                 + jax.nn.relu(-true_cos) * cos_anneal_ratio)
+    iter_cos = iter_cos * vmask_f[:, None]
+
+    d_flat = dists.reshape(-1, 1)
+    est_next = sdf + jnp.clip(iter_cos, -10.0, 10.0) * d_flat * 0.5
+    est_prev = sdf - jnp.clip(iter_cos, -10.0, 10.0) * d_flat * 0.5
+    prev_cdf = jax.nn.sigmoid(est_prev * inv_s)
+    next_cdf = jax.nn.sigmoid(est_next * inv_s)
+    alpha = jnp.clip((prev_cdf - next_cdf + 1e-5) / (prev_cdf + 1e-5), 0.0, 1.0)
+    alpha = alpha.reshape(nr, ns) * vmask_f.reshape(nr, ns)
+
+    pts_norm = jnp.linalg.norm(pts, axis=-1).reshape(nr, ns)
+    inside_sphere = jax.lax.stop_gradient(
+        (pts_norm < 1.0).astype(jnp.float32)) * vmask_f.reshape(nr, ns)
+    relax_inside = jax.lax.stop_gradient(
+        (pts_norm < 1.2).astype(jnp.float32)) * vmask_f.reshape(nr, ns)
+
+    trans = jnp.cumprod(
+        jnp.concatenate([jnp.ones((nr, 1)), 1.0 - alpha + 1e-7], axis=-1),
+        axis=-1)[:, :-1]
+    weights = alpha * trans
+    return alpha, weights, inside_sphere, relax_inside
+
+
+def neus_zero_crossing(sdf, grads_rs, mid_z, vmask_f, inside_sphere, ray_cos):
+    """First SDF zero crossing along each ray with the reference's gates
+    (implicit_surface.py:180-216): earliest valid sign-change pair, midpoint
+    -inside-sphere, gradient-cos > 0.5, linear-interp z at sdf=0.  Golden
+    -tested against a torch port of the reference block.
+
+    Returns (mid_inside (nr,1), z_sdf0 (nr,1), sdf_depth (nr,1))."""
+    nr, ns = mid_z.shape
+    sdf_d = sdf.reshape(nr, ns)
+    prev_sdf, next_sdf = sdf_d[:, :-1], sdf_d[:, 1:]
+    vm_d = vmask_f.reshape(nr, ns)
+    pair_valid = (vm_d[:, :-1] * vm_d[:, 1:]) > 0
+    sign = (prev_sdf * next_sdf <= 0).astype(jnp.float32) * pair_valid
+    idx_desc = jnp.arange(ns - 1, 0, -1, dtype=jnp.float32)[None]  # ns-1 .. 1
+    tmp = sign * idx_desc
+    prev_idx = jnp.argmax(tmp, axis=1, keepdims=True)
+    next_idx = prev_idx + 1
+    has_cross = (tmp.sum(-1, keepdims=True) > 0).astype(jnp.float32)
+
+    take = lambda a, i: jnp.take_along_axis(a, i, axis=1)
+    prev_in = take(inside_sphere, prev_idx)
+    next_in = take(inside_sphere, next_idx)
+    mid_inside = ((0.5 * (prev_in + next_in)) > 0.5).astype(jnp.float32) * has_cross
+
+    grad_d = jax.lax.stop_gradient(grads_rs)
+    g1 = jnp.take_along_axis(grad_d, jnp.repeat(prev_idx[..., None], 3, -1), axis=1)[:, 0]
+    g2 = jnp.take_along_axis(grad_d, jnp.repeat(next_idx[..., None], 3, -1), axis=1)[:, 0]
+    cos_d = jnp.sum(g1 * g2, -1) / (jnp.linalg.norm(g1, axis=-1)
+                                    * jnp.linalg.norm(g2, axis=-1) + 1e-8)
+    mid_inside = mid_inside * (cos_d[:, None] > 0.5)
+
+    sdf1 = take(sdf_d, prev_idx)
+    sdf2 = take(sdf_d, next_idx)
+    z1 = take(mid_z, prev_idx)
+    z2 = take(mid_z, next_idx)
+    denom = sdf1 - sdf2
+    denom = jnp.where(jnp.abs(denom) < 1e-6, jnp.where(denom < 0, -1e-6, 1e-6), denom)
+    z_sdf0 = (sdf1 * z2 - sdf2 * z1) / denom
+    sdf_depth = z_sdf0 * ray_cos[:, None] * mid_inside
+    return mid_inside, z_sdf0, sdf_depth
+
+
 def render_core(key, params, static, rays_o, rays_d, z_vals, sample_dist,
                 stages, features, warp_feats, imgs, intrs, c2ws,
                 cos_anneal_ratio, step, fused_colors=None, occ=None):
@@ -196,28 +276,8 @@ def render_core(key, params, static, rays_o, rays_d, z_vals, sample_dist,
 
     inv_s = jnp.clip(variance.inv_s(params["deviation_network"]), 1e-6, 1e6)
 
-    true_cos = jnp.sum(dirs * gradients, axis=-1, keepdims=True)
-    iter_cos = -(jax.nn.relu(-true_cos * 0.5 + 0.5) * (1.0 - cos_anneal_ratio)
-                 + jax.nn.relu(-true_cos) * cos_anneal_ratio)
-    iter_cos = iter_cos * vmask_f[:, None]
-
-    d_flat = dists.reshape(-1, 1)
-    est_next = sdf + jnp.clip(iter_cos, -10.0, 10.0) * d_flat * 0.5
-    est_prev = sdf - jnp.clip(iter_cos, -10.0, 10.0) * d_flat * 0.5
-    prev_cdf = jax.nn.sigmoid(est_prev * inv_s)
-    next_cdf = jax.nn.sigmoid(est_next * inv_s)
-    alpha = jnp.clip((prev_cdf - next_cdf + 1e-5) / (prev_cdf + 1e-5), 0.0, 1.0)
-    alpha = alpha.reshape(nr, ns) * vmask_f.reshape(nr, ns)
-
-    pts_norm = jnp.linalg.norm(pts, axis=-1).reshape(nr, ns)
-    inside_sphere = jax.lax.stop_gradient(
-        (pts_norm < 1.0).astype(jnp.float32)) * vmask_f.reshape(nr, ns)
-    relax_inside = jax.lax.stop_gradient(
-        (pts_norm < 1.2).astype(jnp.float32)) * vmask_f.reshape(nr, ns)
-
-    trans = jnp.cumprod(
-        jnp.concatenate([jnp.ones((nr, 1)), 1.0 - alpha + 1e-7], axis=-1), axis=-1)[:, :-1]
-    weights = alpha * trans
+    alpha, weights, inside_sphere, relax_inside = neus_alpha_weights(
+        sdf, gradients, dirs, dists, pts, vmask_f, inv_s, cos_anneal_ratio)
     weights_sum = weights.sum(-1, keepdims=True)
 
     color = jnp.sum(sampled_color * weights[..., None], axis=1)
@@ -242,37 +302,8 @@ def render_core(key, params, static, rays_o, rays_d, z_vals, sample_dist,
     sdf_random = sdf_random * rnd_mask[:, None].astype(sdf_random.dtype)
 
     # first SDF zero crossing along each ray (lines 180-216)
-    sdf_d = sdf.reshape(nr, ns)
-    prev_sdf, next_sdf = sdf_d[:, :-1], sdf_d[:, 1:]
-    vm_d = vmask_f.reshape(nr, ns)
-    pair_valid = (vm_d[:, :-1] * vm_d[:, 1:]) > 0
-    sign = (prev_sdf * next_sdf <= 0).astype(jnp.float32) * pair_valid
-    idx_desc = jnp.arange(ns - 1, 0, -1, dtype=jnp.float32)[None]  # ns-1 .. 1
-    tmp = sign * idx_desc
-    prev_idx = jnp.argmax(tmp, axis=1, keepdims=True)
-    next_idx = prev_idx + 1
-    has_cross = (tmp.sum(-1, keepdims=True) > 0).astype(jnp.float32)
-
-    take = lambda a, i: jnp.take_along_axis(a, i, axis=1)
-    prev_in = take(inside_sphere, prev_idx)
-    next_in = take(inside_sphere, next_idx)
-    mid_inside = ((0.5 * (prev_in + next_in)) > 0.5).astype(jnp.float32) * has_cross
-
-    grad_d = jax.lax.stop_gradient(grads_rs)
-    g1 = jnp.take_along_axis(grad_d, jnp.repeat(prev_idx[..., None], 3, -1), axis=1)[:, 0]
-    g2 = jnp.take_along_axis(grad_d, jnp.repeat(next_idx[..., None], 3, -1), axis=1)[:, 0]
-    cos_d = jnp.sum(g1 * g2, -1) / (jnp.linalg.norm(g1, axis=-1)
-                                    * jnp.linalg.norm(g2, axis=-1) + 1e-8)
-    mid_inside = mid_inside * (cos_d[:, None] > 0.5)
-
-    sdf1 = take(sdf_d, prev_idx)
-    sdf2 = take(sdf_d, next_idx)
-    z1 = take(mid_z, prev_idx)
-    z2 = take(mid_z, next_idx)
-    denom = sdf1 - sdf2
-    denom = jnp.where(jnp.abs(denom) < 1e-6, jnp.where(denom < 0, -1e-6, 1e-6), denom)
-    z_sdf0 = (sdf1 * z2 - sdf2 * z1) / denom
-    sdf_depth = z_sdf0 * ray_cos[:, None] * mid_inside
+    mid_inside, z_sdf0, sdf_depth = neus_zero_crossing(
+        sdf, grads_rs, mid_z, vmask_f, inside_sphere, ray_cos)
 
     max_z = jnp.max(z_vals)
     z_sdf0 = jnp.where((z_sdf0 < 0) | (z_sdf0 > max_z), 0.0, z_sdf0)

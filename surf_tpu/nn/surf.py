@@ -85,27 +85,20 @@ def init(key, conf):
     return params, state, static
 
 
-def _stage_step(params, reg_state_s, static, ipts, features, key_s, carry,
-                *, s, perturb, training):
-    """One cascade stage.  carry = (grid, mid, depths, matching_volume); all
-    None at s=0.  Kept as a standalone function so orchestration can jit
-    stages independently (one 704^3-scale graph per stage compiles where a
-    monolithic 4-stage graph overwhelms the compiler)."""
+def _stage_compute(params, reg_state_s, static, ipts, features, key_s,
+                   grid, sel, mid_prev, depths_prev, matching_prev,
+                   *, s, perturb, training):
+    """The DIFFERENTIABLE body of a cascade stage, given its (integer)
+    voxel geometry: frustum masking, feature back-projection, the sparse
+    U-Net, the dense matching volume and the matching-field depths.
+
+    ``grid`` may be pre- or post-frustum-masked (the frustum intersection is
+    idempotent), so the staged backward can feed the forward's output grid
+    back in and skip the depth-filter geometry entirely.
+    """
     intrs = ipts["intrs"]
     c2ws = ipts["c2ws"]
-    near, far = ipts["near"].reshape(-1)[0], ipts["far"].reshape(-1)[0]
-    base_range = far - near
     hw = ipts["imgs"].shape[1:3]
-    grid, mid, depths, matching_volume = carry
-
-    stage_range = base_range * static["range_ratios"][s]
-    if s == 0:
-        grid = sp.dense_base_grid(static["base_dim"])
-        up_feats = None
-    else:
-        grid, up_feats = volume_mod.upsample_and_filter(
-            grid, mid, depths, intrs, c2ws, stage_range,
-            static["parent_caps"][s])
 
     world = sp.voxel_centers_world(grid.child_coords(), grid.res)
     bp_feats, frustum = volume_mod.back_project(
@@ -113,8 +106,11 @@ def _stage_step(params, reg_state_s, static, ipts, features, key_s, carry,
     cvalid = grid.cvalid & frustum
     grid = grid._replace(cvalid=cvalid)
     bp_feats = bp_feats * cvalid[:, None].astype(bp_feats.dtype)
-    feats = bp_feats if up_feats is None else jnp.concatenate(
-        [bp_feats, up_feats * cvalid[:, None].astype(up_feats.dtype)], axis=-1)
+    if sel is None:
+        feats = bp_feats
+    else:
+        up_feats = volume_mod.upsample_feats(mid_prev, sel, cvalid)
+        feats = jnp.concatenate([bp_feats, up_feats], axis=-1)
 
     out, mid, reg_s = reg_net.apply(
         params["reg_network"][s], reg_state_s, grid, feats,
@@ -122,7 +118,7 @@ def _stage_step(params, reg_state_s, static, ipts, features, key_s, carry,
 
     mdtype = jnp.dtype(static.get("matching_dtype", "float32"))
     matching_volume = volume_mod.matching_and_mask_volume(
-        grid, out[:, :1].astype(mdtype), matching_volume)
+        grid, out[:, :1].astype(mdtype), matching_prev)
 
     # the LAST stage's depth maps feed no further filtering — only the
     # ref/src views (the gradient views) are consumed by the loss, so the
@@ -130,8 +126,8 @@ def _stage_step(params, reg_state_s, static, ipts, features, key_s, carry,
     last = s == static["num_stage"] - 1
     depths, occ_regs = matching_field.apply(
         key_s, static["matching_field"], ipts, matching_volume, s,
-        static["range_ratios"], None if s == 0 else depths, perturb=perturb,
-        grad_views_only=last)
+        static["range_ratios"], None if s == 0 else depths_prev,
+        perturb=perturb, grad_views_only=last)
 
     src_idx = ipts.get("src_idx", None)
     depth_src = depths[0] if src_idx is None else \
@@ -139,6 +135,38 @@ def _stage_step(params, reg_state_s, static, ipts, features, key_s, carry,
     stage_out = {"storage": out[:, 1:], "depth": depths[0],
                  "depth_src": depth_src, "occ_reg": occ_regs}
     return (grid, mid, depths, matching_volume), stage_out, reg_s
+
+
+def _stage_step(params, reg_state_s, static, ipts, features, key_s, carry,
+                *, s, perturb, training):
+    """One cascade stage.  carry = (grid, mid, depths, matching_volume); all
+    None at s=0.  Kept as a standalone function so orchestration can jit
+    stages independently (one 704^3-scale graph per stage compiles where a
+    monolithic 4-stage graph overwhelms the compiler).
+
+    Returns (carry, stage_out, reg_s, sel) — ``sel`` (with the carry's grid)
+    lets the staged backward jit skip the non-differentiable depth-filter
+    geometry (surf_tpu/nn/train_staged.py)."""
+    intrs = ipts["intrs"]
+    c2ws = ipts["c2ws"]
+    near, far = ipts["near"].reshape(-1)[0], ipts["far"].reshape(-1)[0]
+    base_range = far - near
+    grid_prev, mid_prev, depths_prev, matching_prev = carry
+
+    stage_range = base_range * static["range_ratios"][s]
+    if s == 0:
+        grid = sp.dense_base_grid(static["base_dim"])
+        sel = None
+    else:
+        grid, sel = volume_mod.upsample_filter_geometry(
+            grid_prev, depths_prev, intrs, c2ws, stage_range,
+            static["parent_caps"][s])
+
+    carry_new, stage_out, reg_s = _stage_compute(
+        params, reg_state_s, static, ipts, features, key_s, grid, sel,
+        mid_prev, depths_prev, matching_prev, s=s, perturb=perturb,
+        training=training)
+    return carry_new, stage_out, reg_s, sel
 
 
 def _freeze(obj):
@@ -174,7 +202,7 @@ def _jit_stage_cached(frozen_static, s, perturb, training):
     # stages list.
     def fn(params, reg_state_s, ipts, features, key_s, grid, rest):
         carry = (grid, *rest)
-        new_carry, stage_out, reg_s = _stage_step(
+        new_carry, stage_out, reg_s, _sel = _stage_step(
             params, reg_state_s, static, ipts, features, key_s, carry,
             s=s, perturb=perturb, training=training)
         return new_carry[0], tuple(new_carry[1:]), stage_out, reg_s
@@ -220,7 +248,7 @@ def build_volumes(key, params, state, static, ipts, features, *,
                 # train step past HBM (jax.checkpoint trades ~1 extra
                 # forward per stage for the win)
                 stage_fn = jax.checkpoint(stage_fn)
-            carry, stage_out, reg_s = stage_fn(
+            carry, stage_out, reg_s, _sel = stage_fn(
                 params, state["reg_network"][s], ipts, features, keys[s],
                 carry)
         grid = carry[0]

@@ -88,40 +88,44 @@ def _feat_fns():
 def _stage_fns(frozen_static, s, perturb):
     static = surf._thaw(frozen_static)
 
-    def run(params, reg_state_s, ipts, features, key_s, carry):
-        return surf._stage_step(params, reg_state_s, static, ipts, features,
-                                key_s, carry, s=s, perturb=perturb,
-                                training=True)
-
     @jax.jit
     def fwd(params, reg_state_s, ipts, features, key_s, grid_in, rest_in):
         carry = (grid_in, *(rest_in or (None, None, None)))
-        (grid, mid, depths, mv), stage_out, reg_s = run(
-            params, reg_state_s, ipts, features, key_s, carry)
-        return grid, (mid, depths, mv), stage_out, reg_s
+        (grid, mid, depths, mv), stage_out, reg_s, sel = surf._stage_step(
+            params, reg_state_s, static, ipts, features, key_s, carry,
+            s=s, perturb=perturb, training=True)
+        return grid, (mid, depths, mv), stage_out, reg_s, sel
 
-    @jax.jit
-    def bwd(params, reg_state_s, ipts, features, key_s, grid_in, rest_in,
-            cot_rest_out, cot_stage_out):
-        """Recompute stage s and pull (cot_rest_out, cot_stage_out) back to
+    # donate every consumed buffer (the stage grid/sel, the saved carry, both
+    # cotangent trees): the backward loop runs at full HBM occupancy and the
+    # orchestrator never touches these arguments again
+    @partial(jax.jit, donate_argnums=(5, 6, 7, 8, 9))
+    def bwd(params, reg_state_s, ipts, features, key_s, grid_s, sel_s,
+            rest_in, cot_rest_out, cot_stage_out):
+        """Recompute the DIFFERENTIABLE stage body (given the forward's
+        output grid + compaction indices — the depth-filter geometry is
+        never re-run) and pull (cot_rest_out, cot_stage_out) back to
         (d params, d rest_in, d features).  rest_in of stage 0 is all-None
         (no differentiable carry)."""
         has_carry = rest_in is not None and rest_in[0] is not None
 
         if has_carry:
             def f(p, feats, rest):
-                carry = (grid_in, *rest)
-                (g, mid, depths, mv), stage_out, _ = run(
-                    p, reg_state_s, ipts, feats, key_s, carry)
+                mid_prev, depths_prev, matching_prev = rest
+                (g, mid, depths, mv), stage_out, _ = surf._stage_compute(
+                    p, reg_state_s, static, ipts, feats, key_s, grid_s,
+                    sel_s, mid_prev, depths_prev, matching_prev,
+                    s=s, perturb=perturb, training=True)
                 return (mid, depths, mv), stage_out
 
             _, vjp = jax.vjp(f, params, features, rest_in)
             g_params, g_feats, g_rest = vjp((cot_rest_out, cot_stage_out))
         else:
             def f0(p, feats):
-                carry = (grid_in, None, None, None)
-                (g, mid, depths, mv), stage_out, _ = run(
-                    p, reg_state_s, ipts, feats, key_s, carry)
+                (g, mid, depths, mv), stage_out, _ = surf._stage_compute(
+                    p, reg_state_s, static, ipts, feats, key_s, grid_s,
+                    None, None, None, None,
+                    s=s, perturb=perturb, training=True)
                 return (mid, depths, mv), stage_out
 
             _, vjp = jax.vjp(f0, params, features)
@@ -205,8 +209,15 @@ def _wmean_tree(tree, weights, wsum):
     return jax.tree.map(wm, tree)
 
 
-def _psum_sum_tree(tree):
-    return jax.tree.map(lambda x: jax.lax.psum(jnp.sum(x, axis=0), _AX), tree)
+def _sum_scenes_tree(tree):
+    """Sum per-scene gradient stacks over the LOCAL scene axis only.
+
+    No explicit psum: under shard_map's varying-axes semantics, the vjp
+    w.r.t. a REPLICATED (P()) input already inserts the cross-device psum —
+    the per-device value is the global sum (verified: an extra psum
+    multiplies gradients by the device count while leaving losses correct).
+    """
+    return jax.tree.map(lambda x: jnp.sum(x, axis=0), tree)
 
 
 @functools.lru_cache(maxsize=8)
@@ -221,8 +232,9 @@ def _feat_fns_dp(mesh):
         _, vjp = jax.vjp(
             lambda p: jax.vmap(lambda im: feature_net.apply(p, im))(imgs),
             fn_params)
-        g = vjp(list(cot))[0]
-        return jax.tree.map(lambda x: jax.lax.psum(x, _AX), g)
+        # fn_params is replicated (P()): the vjp's implicit psum already
+        # made this the global cross-device sum (see _sum_scenes_tree)
+        return vjp(list(cot))[0]
 
     bwd = jax.jit(shard_map(bwd_local, mesh=mesh,
                             in_specs=(P(), P(_AX), P(_AX)), out_specs=P()))
@@ -233,57 +245,56 @@ def _feat_fns_dp(mesh):
 def _stage_fns_dp(frozen_static, s, perturb, mesh):
     static = surf._thaw(frozen_static)
 
-    def run(params, reg_state_s, ipts, features, key_s, carry):
-        return surf._stage_step(params, reg_state_s, static, ipts, features,
-                                key_s, carry, s=s, perturb=perturb,
-                                training=True)
-
     def fwd_local(params, reg_state_s, ipts, features, keys, grid_in, rest_in,
                   weights):
         def per_scene(ipts_i, feats_i, key_i, grid_i, rest_i):
             carry = (grid_i, *(rest_i if rest_i is not None
                                else (None, None, None)))
-            (grid, mid, depths, mv), stage_out, reg_s = run(
-                params, reg_state_s, ipts_i, feats_i, key_i, carry)
-            return grid, (mid, depths, mv), stage_out, reg_s
+            (grid, mid, depths, mv), stage_out, reg_s, sel = surf._stage_step(
+                params, reg_state_s, static, ipts_i, feats_i, key_i, carry,
+                s=s, perturb=perturb, training=True)
+            return grid, (mid, depths, mv), stage_out, reg_s, sel
 
         if s == 0:
-            grid, rest, stage_out, reg_s = jax.vmap(
+            grid, rest, stage_out, reg_s, sel = jax.vmap(
                 lambda a, b, c: per_scene(a, b, c, None, None)
             )(ipts, features, keys)
         else:
-            grid, rest, stage_out, reg_s = jax.vmap(per_scene)(
+            grid, rest, stage_out, reg_s, sel = jax.vmap(per_scene)(
                 ipts, features, keys, grid_in, rest_in)
         wsum = jax.lax.psum(jnp.sum(weights), _AX)
         # BN running stats weight-averaged over scenes (the DDP analogue of
         # shared batch statistics)
         reg_s = _wmean_tree(reg_s, weights, wsum)
-        return grid, rest, stage_out, reg_s
+        return grid, rest, stage_out, reg_s, sel
 
     in_sp = (P(), P(), P(_AX), P(_AX), P(_AX), P(_AX), P(_AX), P(_AX))
     fwd = jax.jit(shard_map(fwd_local, mesh=mesh, in_specs=in_sp,
-                            out_specs=(P(_AX), P(_AX), P(_AX), P())))
+                            out_specs=(P(_AX), P(_AX), P(_AX), P(), P(_AX))))
 
-    def bwd_local(params, reg_state_s, ipts, features, keys, grid_in, rest_in,
-                  cot_rest_out, cot_stage_out):
+    def bwd_local(params, reg_state_s, ipts, features, keys, grid_s, sel_s,
+                  rest_in, cot_rest_out, cot_stage_out):
         has_carry = rest_in is not None and rest_in[0] is not None
 
-        def per_scene(ipts_i, feats_i, key_i, grid_i, rest_i, ct_rest_i,
-                      ct_so_i):
+        def per_scene(ipts_i, feats_i, key_i, grid_i, sel_i, rest_i,
+                      ct_rest_i, ct_so_i):
             if has_carry:
                 def f(p, fe, rest):
-                    carry = (grid_i, *rest)
-                    (g, mid, depths, mv), so, _ = run(
-                        p, reg_state_s, ipts_i, fe, key_i, carry)
+                    mid_prev, depths_prev, matching_prev = rest
+                    (g, mid, depths, mv), so, _ = surf._stage_compute(
+                        p, reg_state_s, static, ipts_i, fe, key_i, grid_i,
+                        sel_i, mid_prev, depths_prev, matching_prev,
+                        s=s, perturb=perturb, training=True)
                     return (mid, depths, mv), so
 
                 _, vjp = jax.vjp(f, params, feats_i, rest_i)
                 gp, gf, gr = vjp((ct_rest_i, ct_so_i))
             else:
                 def f0(p, fe):
-                    carry = (grid_i, None, None, None)
-                    (g, mid, depths, mv), so, _ = run(
-                        p, reg_state_s, ipts_i, fe, key_i, carry)
+                    (g, mid, depths, mv), so, _ = surf._stage_compute(
+                        p, reg_state_s, static, ipts_i, fe, key_i, grid_i,
+                        None, None, None, None,
+                        s=s, perturb=perturb, training=True)
                     return (mid, depths, mv), so
 
                 _, vjp = jax.vjp(f0, params, feats_i)
@@ -292,14 +303,16 @@ def _stage_fns_dp(frozen_static, s, perturb, mesh):
             return gp, gf, gr
 
         g_params, g_feats, g_rest = jax.vmap(per_scene)(
-            ipts, features, keys, grid_in, rest_in, cot_rest_out,
+            ipts, features, keys, grid_s, sel_s, rest_in, cot_rest_out,
             cot_stage_out)
-        g_params = _psum_sum_tree(g_params)
+        g_params = _sum_scenes_tree(g_params)
         return g_params, g_feats, g_rest
 
-    in_sp_b = in_sp + (P(_AX),)
+    in_sp_b = (P(), P(), P(_AX), P(_AX), P(_AX), P(_AX), P(_AX), P(_AX),
+               P(_AX), P(_AX))
     bwd = jax.jit(shard_map(bwd_local, mesh=mesh, in_specs=in_sp_b,
-                            out_specs=(P(), P(_AX), P(_AX))))
+                            out_specs=(P(), P(_AX), P(_AX))),
+                  donate_argnums=(5, 6, 7, 8, 9))
     return fwd, bwd
 
 
@@ -333,7 +346,7 @@ def _head_fns_dp(frozen_static, frozen_loss_cfg, mesh):
             match_features, ipts, keys, weights)
         loss = jax.lax.psum(jnp.sum(loss_w), _AX)
         res = _wmean_tree(res, weights, wsum)
-        g_is = _psum_sum_tree(g_is)
+        g_is = _sum_scenes_tree(g_is)
         return loss, res, g_is, g_sto, g_dout, g_feats
 
     in_sp = (P(), P(_AX), P(_AX), P(_AX), P(_AX), P(_AX), P(_AX), P(_AX),
@@ -399,24 +412,24 @@ def value_and_grad_staged(params, state, static, loss_cfg, batch, key,
     match_features = feat_fwd(state["match_feature_network"], batch["imgs"])
 
     # ---- forward through the cascade, saving stage inputs ----
-    grids_in, rests_in = [], []
+    rests_in = []
     grid, rest = None, None
-    stage_outs, grids, new_reg_state = [], [], []
+    stage_outs, grids, sels, new_reg_state = [], [], [], []
     for s in range(num_stage):
-        grids_in.append(grid)
         rests_in.append(rest)
         if dp:
             fwd, _ = _stage_fns_dp(frozen_static, s, perturb, mesh)
-            grid, rest, stage_out, reg_s = fwd(
+            grid, rest, stage_out, reg_s, sel = fwd(
                 params, state["reg_network"][s], batch, features, keys[s],
                 grid, rest, weights)
         else:
             fwd, _ = _stage_fns(frozen_static, s, perturb)
-            grid, rest, stage_out, reg_s = fwd(
+            grid, rest, stage_out, reg_s, sel = fwd(
                 params, state["reg_network"][s], batch, features, keys[s],
                 grid, rest)
         tick(f"fwd stage {s}", rest)
         grids.append(grid)
+        sels.append(sel)
         stage_outs.append(stage_out)
         new_reg_state.append(reg_s)
     matching_volume = rest[2]
@@ -454,7 +467,7 @@ def value_and_grad_staged(params, state, static, loss_cfg, batch, key,
     # free forward products the backward no longer needs: the stage loop
     # runs near full HBM occupancy at the 704^3 protocol
     del rest, stage_outs, depth_outs, g_feats, matching_volume
-    del match_features, grids
+    del match_features
 
     for s in reversed(range(num_stage)):
         cot_stage_out = {
@@ -471,10 +484,11 @@ def value_and_grad_staged(params, state, static, loss_cfg, batch, key,
             _, bwd = _stage_fns(frozen_static, s, perturb)
         g_params_s, g_feats_s, cot_rest = bwd(
             params, state["reg_network"][s], batch, features, keys[s],
-            grids_in[s], rests_in[s], cot_rest, cot_stage_out)
+            grids[s], sels[s], rests_in[s], cot_rest, cot_stage_out)
         tick(f"bwd stage {s}", cot_rest if cot_rest is not None else g_params_s)
         # drop this stage's saved inputs before the next (coarser) bwd
-        grids_in[s] = None
+        grids[s] = None
+        sels[s] = None
         rests_in[s] = None
         grads = _tree_add_into(grads, g_params_s)
         del g_params_s

@@ -213,16 +213,15 @@ def depth_consistency_geocheck(world_pts, cand_valid, depths, intrs, c2ws,
     return counts, keep
 
 
-def upsample_and_filter(prev_grid: sp.VoxelGrid, prev_mid, depths, intrs, c2ws,
-                        stage_range, parent_cap: int):
-    """Subdivide the previous stage's voxels 2x, keep children consistent
-    with the rendered depths, and compact surviving parents into a static
-    capacity.
+def upsample_filter_geometry(prev_grid: sp.VoxelGrid, depths, intrs, c2ws,
+                             stage_range, parent_cap: int):
+    """The NON-differentiable half of the 2x subdivide + depth-filter +
+    compact step: returns (new_grid, sel) where ``sel`` (parent_cap,) indexes
+    the surviving candidate parents (= previous stage's child rows).
 
-    prev_mid: (P_prev*8, c) mid-features of the previous stage (broadcast to
-    children as the next stage's ``up_feats``, volume.py:44).
-    Returns (new_grid, up_feats (parent_cap*8, c)).
-    """
+    Split out so the staged BACKWARD graphs can skip it entirely — the grid
+    and sel are jit outputs of the forward; gradients flow only through
+    ``upsample_feats`` (the prev_mid gather)."""
     res_new = prev_grid.res * 2
     cand_parents = prev_grid.child_coords()              # (Np*8, 3) at res_new/2
     cand_pvalid = prev_grid.cvalid                        # (Np*8,)
@@ -233,7 +232,8 @@ def upsample_and_filter(prev_grid: sp.VoxelGrid, prev_mid, depths, intrs, c2ws,
     cand_cvalid = jnp.repeat(cand_pvalid, 8)
 
     counts, keep = depth_consistency(
-        jax.lax.stop_gradient(world), cand_cvalid, depths, intrs, c2ws, stage_range)
+        jax.lax.stop_gradient(world), cand_cvalid,
+        jax.lax.stop_gradient(depths), intrs, c2ws, stage_range)
 
     keep8 = keep.reshape(-1, 8)
     score = jnp.sum(keep8, axis=1).astype(jnp.float32)
@@ -243,9 +243,29 @@ def upsample_and_filter(prev_grid: sp.VoxelGrid, prev_mid, depths, intrs, c2ws,
     parents = cand_parents[sel]
     cvalid = keep8[sel] & sel_valid[:, None]
     grid = sp.make_grid(parents, sel_valid, cvalid, res_new)
+    return grid, sel
+
+
+def upsample_feats(prev_mid, sel, cvalid):
+    """Differentiable half: broadcast the selected parents' mid-features to
+    their 8 children (volume.py:44)."""
     up_feats = jnp.repeat(prev_mid[sel], 8, axis=0)       # (parent_cap*8, c)
-    up_feats = up_feats * grid.cvalid[:, None].astype(up_feats.dtype)
-    return grid, up_feats
+    return up_feats * cvalid[:, None].astype(up_feats.dtype)
+
+
+def upsample_and_filter(prev_grid: sp.VoxelGrid, prev_mid, depths, intrs, c2ws,
+                        stage_range, parent_cap: int):
+    """Subdivide the previous stage's voxels 2x, keep children consistent
+    with the rendered depths, and compact surviving parents into a static
+    capacity.
+
+    prev_mid: (P_prev*8, c) mid-features of the previous stage (broadcast to
+    children as the next stage's ``up_feats``, volume.py:44).
+    Returns (new_grid, up_feats (parent_cap*8, c)).
+    """
+    grid, sel = upsample_filter_geometry(prev_grid, depths, intrs, c2ws,
+                                         stage_range, parent_cap)
+    return grid, upsample_feats(prev_mid, sel, grid.cvalid)
 
 
 def matching_and_mask_volume(grid: sp.VoxelGrid, density, prev_matching=None):

@@ -46,6 +46,75 @@ def _unnormalize(c, size, align_corners):
     return ((c + 1.0) * size - 1.0) * 0.5
 
 
+def _bilinear_tap_geometry(image, xy):
+    """Shared corner/weight math for the bilinear core and its transpose."""
+    H, W, C = image.shape
+    c0 = jnp.floor(xy)
+    frac = xy - c0
+    c0i = c0.astype(jnp.int32)
+    corners = c0i[..., None, :] + _CORNER_OFFSETS_2D        # (..., 4, 2) x,y
+    dims = jnp.array([W, H], jnp.int32)
+    valid = jnp.all((corners >= 0) & (corners < dims), axis=-1)
+    cc = jnp.clip(corners, 0, dims - 1)
+    idx = cc[..., 1] * W + cc[..., 0]
+    offs = _CORNER_OFFSETS_2D.astype(image.dtype)
+    w = jnp.prod(jnp.where(offs > 0, frac[..., None, :],
+                           1.0 - frac[..., None, :]),
+                 axis=-1) * valid.astype(image.dtype)
+    return frac, idx, valid, w
+
+
+@jax.custom_vjp
+def _bilinear_core(image, xy):
+    """Bilinear sampling at UNNORMALIZED pixel coords xy (..., 2).
+
+    Custom VJP: XLA's autodiff scatters per-corner cotangents into an
+    (H*W, C) table whose tiny channel dim pads to the 128-lane tile on TPU
+    (32x wasted traffic at C=4); the hand-written transpose scatters
+    CHANNEL-MAJOR (C, H*W) — the compact fixed-point layout (PERF_NOTES) —
+    and reproduces XLA's gradients exactly (tests/test_grid_sample.py).
+    """
+    H, W, C = image.shape
+    frac, idx, valid, w = _bilinear_tap_geometry(image, xy)
+    vals = image.reshape(H * W, C)[idx.reshape(-1)].reshape(*idx.shape, C)
+    return jnp.sum(vals * w[..., None], axis=-2)
+
+
+def _bilinear_core_fwd(image, xy):
+    return _bilinear_core(image, xy), (image, xy)
+
+
+def _bilinear_core_bwd(res, ct):
+    image, xy = res
+    H, W, C = image.shape
+    frac, idx, valid, w = _bilinear_tap_geometry(image, xy)
+
+    # d_image: channel-major scatter-add, invalid taps routed to a dump col
+    ctw = ct[..., None, :] * w[..., None]                   # (..., 4, C)
+    col = jnp.where(valid, idx, H * W).reshape(-1)
+    upd = ctw.reshape(-1, C).T                              # (C, N*4)
+    dflat = jnp.zeros((C, H * W + 1), image.dtype).at[:, col].add(
+        upd, mode="drop")
+    d_image = dflat[:, :H * W].T.reshape(H, W, C)
+
+    # d_xy via the product rule through frac (corner indices carry no grad,
+    # matching autodiff of the gather formulation)
+    vals = image.reshape(H * W, C)[idx.reshape(-1)].reshape(*idx.shape, C)
+    s = jnp.sum(vals * ct[..., None, :], axis=-1)           # (..., 4)
+    offs = _CORNER_OFFSETS_2D.astype(image.dtype)
+    fx, fy = frac[..., None, 0], frac[..., None, 1]
+    wx = jnp.where(offs[:, 0] > 0, fx, 1.0 - fx)
+    wy = jnp.where(offs[:, 1] > 0, fy, 1.0 - fy)
+    sgnx = jnp.where(offs[:, 0] > 0, 1.0, -1.0) * valid.astype(image.dtype)
+    sgny = jnp.where(offs[:, 1] > 0, 1.0, -1.0) * valid.astype(image.dtype)
+    dx = jnp.sum(s * sgnx * wy, axis=-1)
+    dy = jnp.sum(s * sgny * wx, axis=-1)
+    return d_image, jnp.stack([dx, dy], axis=-1)
+
+
+_bilinear_core.defvjp(_bilinear_core_fwd, _bilinear_core_bwd)
+
+
 def bilinear_sample_2d(image, coords, *, normalized=True, align_corners=True):
     """Bilinearly sample a single image at fractional pixel coordinates.
 
@@ -61,22 +130,7 @@ def bilinear_sample_2d(image, coords, *, normalized=True, align_corners=True):
     if normalized:
         x = _unnormalize(x, W, align_corners)
         y = _unnormalize(y, H, align_corners)
-
-    xy = jnp.stack([x, y], axis=-1)
-    c0 = jnp.floor(xy)
-    frac = xy - c0
-    c0i = c0.astype(jnp.int32)
-
-    corners = c0i[..., None, :] + _CORNER_OFFSETS_2D        # (..., 4, 2) x,y
-    dims = jnp.array([W, H], jnp.int32)
-    valid = jnp.all((corners >= 0) & (corners < dims), axis=-1)
-    cc = jnp.clip(corners, 0, dims - 1)
-    idx = cc[..., 1] * W + cc[..., 0]
-    vals = image.reshape(H * W, C)[idx.reshape(-1)].reshape(*idx.shape, C)
-    offs = _CORNER_OFFSETS_2D.astype(image.dtype)
-    w = jnp.prod(jnp.where(offs > 0, frac[..., None, :], 1.0 - frac[..., None, :]),
-                 axis=-1) * valid.astype(image.dtype)
-    return jnp.sum(vals * w[..., None], axis=-2)
+    return _bilinear_core(image, jnp.stack([x, y], axis=-1))
 
 
 def nearest_sample_2d(image, coords, *, normalized=True, align_corners=True):

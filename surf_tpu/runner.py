@@ -526,12 +526,18 @@ class Runner:
 
             occ = None
             if self.conf.get_bool("train.dense_render_storage", default=True):
-                # direct-indexed bf16 feature volumes: halves the render's
+                # direct-indexed dense feature volumes: halves the render's
                 # gather count vs the two-level sparse lookup (ops/sparse);
                 # folded occupancy volume: 1 visibility gather instead of
-                # one per stage
+                # one per stage.  Default bf16 storage trades ~2e-2 rounding
+                # for throughput — for checkpoint-parity validation set
+                # train.dense_render_dtype = float32 (or disable
+                # dense_render_storage entirely) to keep the f32 path exact.
                 from .ops.sparse import densify_storage, combined_occupancy
-                stages = [(g, densify_storage(g, s)) for g, s in stages]
+                ddt = self.conf.get_string("train.dense_render_dtype",
+                                           default="bfloat16")
+                stages = [(g, densify_storage(g, s, dtype=ddt))
+                          for g, s in stages]
                 occ = jax.jit(combined_occupancy)([g for g, _ in stages])
 
             stages_ff = stages[::-1]

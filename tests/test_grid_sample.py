@@ -113,3 +113,44 @@ def test_upsample_trilinear_x2_matches_torch():
                        mode="trilinear", align_corners=False)
     ref = t[0].permute(1, 2, 3, 0).numpy()
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+def test_bilinear_custom_vjp_matches_autodiff():
+    """The channel-major custom VJP of bilinear_sample_2d must reproduce
+    XLA autodiff of the raw gather formulation exactly — d_image (the
+    scatter transpose) and d_coords (the frac product rule) both."""
+    from surf_tpu.ops.grid_sample import (_CORNER_OFFSETS_2D, _unnormalize,
+                                          bilinear_sample_2d)
+
+    H, W, C = 9, 12, 4
+    img = jnp.asarray(RNG.randn(H, W, C).astype(np.float32))
+    coords = jnp.asarray((RNG.rand(37, 2) * 2.4 - 1.2).astype(np.float32))
+    ct = jnp.asarray(RNG.randn(37, C).astype(np.float32))
+
+    def raw(image, cds):  # the pre-custom-vjp formulation, autodiffed by XLA
+        x = _unnormalize(cds[..., 0], W, True)
+        y = _unnormalize(cds[..., 1], H, True)
+        xy = jnp.stack([x, y], axis=-1)
+        c0 = jnp.floor(xy)
+        frac = xy - c0
+        corners = c0.astype(jnp.int32)[..., None, :] + _CORNER_OFFSETS_2D
+        dims = jnp.array([W, H], jnp.int32)
+        valid = jnp.all((corners >= 0) & (corners < dims), axis=-1)
+        cc = jnp.clip(corners, 0, dims - 1)
+        idx = cc[..., 1] * W + cc[..., 0]
+        vals = image.reshape(H * W, C)[idx.reshape(-1)].reshape(*idx.shape, C)
+        offs = _CORNER_OFFSETS_2D.astype(image.dtype)
+        w = jnp.prod(jnp.where(offs > 0, frac[..., None, :],
+                               1.0 - frac[..., None, :]),
+                     axis=-1) * valid.astype(image.dtype)
+        return jnp.sum(vals * w[..., None], axis=-2)
+
+    gi_r, gc_r = jax.grad(
+        lambda im, cd: jnp.sum(raw(im, cd) * ct), argnums=(0, 1))(img, coords)
+    gi_c, gc_c = jax.grad(
+        lambda im, cd: jnp.sum(bilinear_sample_2d(im, cd) * ct),
+        argnums=(0, 1))(img, coords)
+    np.testing.assert_allclose(np.asarray(gi_c), np.asarray(gi_r),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gc_c), np.asarray(gc_r),
+                               atol=1e-4, rtol=1e-4)

@@ -138,12 +138,17 @@ def test_staged_dp_matches_per_scene_mean(setup):
                               ref_grads[0], ref_grads[1])
     assert np.isclose(float(res_dp["loss"]), np.mean(ref_losses), rtol=1e-4)
 
-    flat_dp, _ = jax.tree_util.tree_flatten(grads_dp)
+    flat_dp = jax.tree_util.tree_leaves_with_path(grads_dp)
     flat_ref, _ = jax.tree_util.tree_flatten(mean_grads)
-    for gd, gr in zip(flat_dp, flat_ref):
+    for (path, gd), gr in zip(flat_dp, flat_ref):
         gd, gr = np.asarray(gd), np.asarray(gr)
+        # absolute escape hatch: leaves whose true gradient is ~0 (e.g. the
+        # agg-softmax bias, exactly zero by shift invariance) carry only fp
+        # noise and cannot be compared relatively
+        adiff = np.abs(gd - gr).max()
         scale = max(np.abs(gr).max(), np.abs(gd).max(), 1e-8)
-        assert np.abs(gd - gr).max() / scale < 5e-4
+        assert adiff < 1e-7 or adiff / scale < 5e-4, \
+            (jax.tree_util.keystr(path), adiff, scale)
 
 
 def test_staged_midscale_compiles_and_runs():

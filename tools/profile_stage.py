@@ -50,6 +50,14 @@ def bench(label, fn, *args, iters=3):
 
 
 def main():
+    # PROF_ONLY: comma-separated subset of {upsample,backproj,reg,mvol,mfield}
+    # so each piece can run in its own short-lived process (clean exits
+    # release the tunnel device; killed long runs wedge it)
+    only = set(os.environ.get("PROF_ONLY", "").split(",")) - {""}
+
+    def want(name):
+        return not only or name in only
+
     s = int(os.environ.get("PROF_STAGE", 3))
     base_dim = 88
     img_hw = (480, 640)
@@ -105,7 +113,7 @@ def main():
     world = jax.jit(lambda g: sp.voxel_centers_world(g.child_coords(), g.res))(grid)
 
     # ---- 1. upsample_and_filter (prev stage -> this stage) ----
-    if s > 0:
+    if s > 0 and want("upsample"):
         prev_grid = synth_grid(rng, res // 2, caps[s - 1], dense=(s == 1))
         prev_mid = jax.random.normal(jax.random.PRNGKey(7),
                                      (prev_grid.capacity, 8))
@@ -118,55 +126,59 @@ def main():
         bench("upsample_and_filter fwd", up_filter, prev_grid, prev_mid, depths)
 
     # ---- 2. back_project ----
-    @jax.jit
-    def bp(p, f, w):
-        return volume_mod.back_project(p, f, w, batch["intrs"], batch["c2ws"],
-                                       s, img_hw)
+    if want("backproj"):
+        @jax.jit
+        def bp(p, f, w):
+            return volume_mod.back_project(p, f, w, batch["intrs"],
+                                           batch["c2ws"], s, img_hw)
 
-    bench("back_project fwd", bp, vol_params, features, world)
+        bench("back_project fwd", bp, vol_params, features, world)
 
-    @jax.jit
-    def bp_vjp(p, f, w, ct):
-        out, vjp = jax.vjp(
-            lambda p_, f_: volume_mod.back_project(
-                p_, f_, w, batch["intrs"], batch["c2ws"], s, img_hw)[0],
-            p, f)
-        return vjp(ct)
+        @jax.jit
+        def bp_vjp(p, f, w, ct):
+            out, vjp = jax.vjp(
+                lambda p_, f_: volume_mod.back_project(
+                    p_, f_, w, batch["intrs"], batch["c2ws"], s, img_hw)[0],
+                p, f)
+            return vjp(ct)
 
-    ct_bp = jax.random.normal(jax.random.PRNGKey(8), (n_child, 8)) * 0.01
-    bench("back_project fwd+vjp", bp_vjp, vol_params, features, world, ct_bp)
+        ct_bp = jax.random.normal(jax.random.PRNGKey(8), (n_child, 8)) * 0.01
+        bench("back_project fwd+vjp", bp_vjp, vol_params, features, world,
+              ct_bp)
 
     # ---- 3. reg_net (sparse U-Net) ----
     # NB: grid must be an ARGUMENT — closed over, its 174 MB parent table
     # becomes an HLO constant and the executable proto fails to serialize
-    @jax.jit
-    def reg(g, p, st, f):
-        return reg_net.apply(p, st, g, f, training=True)[:2]
+    if want("reg"):
+        @jax.jit
+        def reg(g, p, st, f):
+            return reg_net.apply(p, st, g, f, training=True)[:2]
 
-    bench("reg_net fwd", reg, grid, reg_params[s], reg_state[s], feats)
+        bench("reg_net fwd", reg, grid, reg_params[s], reg_state[s], feats)
 
-    ct_out = jax.random.normal(jax.random.PRNGKey(9), (n_child, 8)) * 0.01
-    ct_mid = jax.random.normal(jax.random.PRNGKey(10), (n_child, 8)) * 0.01
+    if want("regvjp"):
+        ct_out = jax.random.normal(jax.random.PRNGKey(9), (n_child, 8)) * 0.01
+        ct_mid = jax.random.normal(jax.random.PRNGKey(10), (n_child, 8)) * 0.01
 
-    @jax.jit
-    def reg_vjp(g, p, st, f, co, cm):
-        out, vjp = jax.vjp(
-            lambda p_, f_: reg_net.apply(p_, st, g, f_, training=True)[:2],
-            p, f)
-        return vjp((co, cm))
+        @jax.jit
+        def reg_vjp(g, p, st, f, co, cm):
+            out, vjp = jax.vjp(
+                lambda p_, f_: reg_net.apply(p_, st, g, f_,
+                                             training=True)[:2],
+                p, f)
+            return vjp((co, cm))
 
-    bench("reg_net fwd+vjp", reg_vjp, grid, reg_params[s], reg_state[s],
-          feats, ct_out, ct_mid)
+        bench("reg_net fwd+vjp", reg_vjp, grid, reg_params[s], reg_state[s],
+              feats, ct_out, ct_mid)
 
     # ---- 4. matching volume (scatter + trilinear background upsample) ----
     density = feats[:, :1]
-
+    if not want("mvol"):
+        density = None
     @jax.jit
     def mv(g, d, pm):
         return volume_mod.matching_and_mask_volume(
             g, d.astype(jnp.bfloat16), pm if s > 0 else None)
-
-    bench("matching_volume fwd", mv, grid, density, prev_matching)
 
     @jax.jit
     def mv_vjp(g, d, pm, ct):
@@ -176,13 +188,17 @@ def main():
             d, pm)
         return vjp(ct)
 
-    ct_mv = (jax.random.normal(jax.random.PRNGKey(11), (res, res, res, 1))
-             * 0.01).astype(jnp.bfloat16)
-    bench("matching_volume fwd+vjp", mv_vjp, grid, density, prev_matching,
-          ct_mv)
-    del ct_mv
+    if density is not None:
+        bench("matching_volume fwd", mv, grid, density, prev_matching)
+        ct_mv = (jax.random.normal(jax.random.PRNGKey(11), (res, res, res, 1))
+                 * 0.01).astype(jnp.bfloat16)
+        bench("matching_volume fwd+vjp", mv_vjp, grid, density, prev_matching,
+              ct_mv)
+        del ct_mv
 
     # ---- 5. matching field ----
+    if not want("mfield"):
+        return
     mf_static = {"n_samples_depths": mf_samples, "depth_res_levels": res_levels}
     pre_depths = depths if s > 0 else None
     key = jax.random.PRNGKey(12)
