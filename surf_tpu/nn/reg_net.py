@@ -50,6 +50,124 @@ def _w_flat(w):
 _CHUNK_ROWS = 131072  # bounds the (chunk, 27, C) gather temp to ~0.5 GB
 
 
+# ---------------------------------------------------------------------------
+# neighbor-table gathers
+#
+# The two-level child lookup (parent-table gather from an (R/2)^3 flat table
+# at ~13.4 ns/row + validity gather + storage row gather) dominates the
+# U-Net cost at fine stages (measured: stage-3 fwd 9.6 s, fwd+vjp 29.5 s).
+# Since a child's 27 neighbors live in its parent's 3^3 parent neighborhood,
+# ONE (P, 27) neighbor-row table per stage turns every tap into a single
+# arithmetic-indexed storage gather:
+#
+#   child row r = 8p + slot k;  neighbor at offset off:
+#     parent delta d = floor((k_axis + off_axis)/2)   — STATIC per (k, off)
+#     child slot  s' = (k_axis + off_axis) & 1        — STATIC per (k, off)
+#     row = nbr[p, tap(d)] * 8 + s'   (negative when the parent is missing)
+#
+# Missing neighbors read as zero via mode="fill" (invalid child rows already
+# hold zeros: every conv input is validity-masked).
+# ---------------------------------------------------------------------------
+
+import numpy as _np
+
+_OFFSETS_NP = _np.array(_OFFSETS, _np.int32)
+
+
+def _tap_index(d):
+    return (d[0] + 1) * 9 + (d[1] + 1) * 3 + (d[2] + 1)
+
+
+def _build_subm_child_map():
+    """(8, 27, 2): for child slot k and tap t -> (parent tap index, slot')."""
+    m = _np.zeros((8, 27, 2), _np.int32)
+    for k in range(8):
+        kb = [(k >> 2) & 1, (k >> 1) & 1, k & 1]
+        for t, off in enumerate(_OFFSETS):
+            d, s2 = [], 0
+            for a in range(3):
+                v = kb[a] + off[a]
+                d.append((v - (v & 1)) // 2)
+                s2 = (s2 << 1) | (v & 1)
+            m[k, t] = (_tap_index(d), s2)
+    return m
+
+
+def _build_down_map():
+    """(27, 2): child at 2p+off -> (parent tap index, slot)."""
+    m = _np.zeros((27, 2), _np.int32)
+    for t, off in enumerate(_OFFSETS):
+        d, s2 = [], 0
+        for a in range(3):
+            v = off[a]
+            d.append((v - (v & 1)) // 2)
+            s2 = (s2 << 1) | (v & 1)
+        m[t] = (_tap_index(d), s2)
+    return m
+
+
+def _build_up_map():
+    """Per child slot k: the taps with (k - off) even per axis (the only
+    contributors of a transposed stride-2 conv) -> (t, parent tap index)."""
+    out = []
+    for k in range(8):
+        kb = [(k >> 2) & 1, (k >> 1) & 1, k & 1]
+        taps = []
+        for t, off in enumerate(_OFFSETS):
+            d = []
+            ok = True
+            for a in range(3):
+                v = kb[a] - off[a]
+                if v & 1:
+                    ok = False
+                    break
+                d.append(v // 2)
+            if ok:
+                taps.append((t, _tap_index(d)))
+        out.append(_np.array(taps, _np.int32))
+    return out
+
+
+_SUBM_CHILD_MAP = _build_subm_child_map()
+_DOWN_MAP = _build_down_map()
+_UP_MAP = _build_up_map()
+
+
+def parent_neighbor_rows(grid):
+    """(P, 27) int32: row of each parent's 3^3 neighborhood (-1 = missing).
+    Computed once per stage and shared by every conv + transpose + dW."""
+    half = grid.res // 2
+    nb = grid.parents[:, None, :] + _OFFSETS_ARR            # (P, 27, 3)
+    inb = jnp.all((nb >= 0) & (nb < half), axis=-1)
+    c = jnp.clip(nb, 0, half - 1)
+    idx = (c[..., 0] * half + c[..., 1]) * half + c[..., 2]
+    prow = grid.parent_table.reshape(-1)[idx.reshape(-1)].reshape(idx.shape)
+    return jnp.where(inb, prow, -1)
+
+
+def _take_rows(storage, idx):
+    """Row gather with zero fill for missing (negative) indices.
+
+    NB: mode="fill" only fills indices >= n — NEGATIVE indices wrap
+    python-style — so misses are redirected past the end first."""
+    idx = jnp.where(idx < 0, storage.shape[0], idx)
+    return jnp.take(storage, idx, axis=0, mode="fill", fill_value=0)
+
+
+def _chunked_parents(fn, n_parents, out_child=False):
+    """lax.map fn over parent-row chunks; fn(rows) -> (n, 8, C) if out_child
+    else (n, C)."""
+    cr = _CHUNK_ROWS // (8 if out_child else 1)
+    if n_parents <= cr:
+        out = fn(jnp.arange(n_parents, dtype=jnp.int32))
+        return out.reshape(-1, out.shape[-1])
+    n_chunks = -(-n_parents // cr)
+    idx = jnp.arange(n_chunks * cr, dtype=jnp.int32).reshape(n_chunks, cr)
+    idx = jnp.minimum(idx, n_parents - 1)
+    out = jax.lax.map(fn, idx)
+    return out.reshape(-1, out.shape[-1])[: n_parents * (8 if out_child else 1)]
+
+
 def _chunked_rows(fn, n_rows):
     """Apply fn over row chunks via lax.map: same result as fn(arange(n)),
     but the (chunk, 27, C) stacked-tap temporaries live one chunk at a time
@@ -65,6 +183,255 @@ def _chunked_rows(fn, n_rows):
     # the backward pass, recreating the unchunked memory footprint
     out = jax.lax.map(jax.checkpoint(fn), idx)
     return out.reshape(n_chunks * _CHUNK_ROWS, -1)[:n_rows]
+
+
+# ---------------------------------------------------------------------------
+# neighbor-table conv kernels (raw)
+# ---------------------------------------------------------------------------
+
+
+def _subm_child_nbr_raw(w, storage, nbr, cvalid):
+    """Submanifold conv at child level via the neighbor table."""
+    wf = _w_flat(w)
+    C = storage.shape[-1]
+    dmap = jnp.asarray(_SUBM_CHILD_MAP[:, :, 0])            # (8, 27)
+    smap = jnp.asarray(_SUBM_CHILD_MAP[:, :, 1])
+
+    def chunk_fn(rows):
+        nb = nbr[rows]                                      # (n, 27)
+        outs = []
+        for k in range(8):
+            nk = nb[:, dmap[k]]                             # (n, 27)
+            idx = jnp.where(nk >= 0, nk * 8 + smap[k], -1)
+            x = _take_rows(storage, idx.reshape(-1)).reshape(
+                idx.shape[0], 27 * C)
+            outs.append(x @ wf)
+        return jnp.stack(outs, axis=1)                      # (n, 8, Cout)
+
+    out = _chunked_parents(chunk_fn, nbr.shape[0], out_child=True)
+    return out * cvalid[:, None].astype(out.dtype)
+
+
+def _gather_x27_child(storage, nbr, rows, k):
+    """Forward gather of slot-k children's 27 taps: (n, 27, C)."""
+    C = storage.shape[-1]
+    nk = nbr[rows][:, _SUBM_CHILD_MAP[k, :, 0]]
+    idx = jnp.where(nk >= 0, nk * 8 + jnp.asarray(_SUBM_CHILD_MAP[k, :, 1]),
+                    -1)
+    return _take_rows(storage, idx.reshape(-1)).reshape(*idx.shape, C)
+
+
+def _subm_parent_nbr_raw(w, storage_p, nbr, pactive):
+    wf = _w_flat(w)
+    C = storage_p.shape[-1]
+
+    def chunk_fn(rows):
+        idx = nbr[rows]                                     # (n, 27)
+        x = _take_rows(storage_p, idx.reshape(-1)).reshape(
+            idx.shape[0], 27 * C)
+        return x @ wf
+
+    out = _chunked_parents(chunk_fn, nbr.shape[0])
+    return out * pactive[:, None].astype(out.dtype)
+
+
+def _down_c2p_nbr_raw(w, storage, nbr):
+    """Stride-2 conv children -> parents via the neighbor table."""
+    wf = _w_flat(w)
+    C = storage.shape[-1]
+    dmap = jnp.asarray(_DOWN_MAP[:, 0])
+    smap = jnp.asarray(_DOWN_MAP[:, 1])
+
+    def chunk_fn(rows):
+        nk = nbr[rows][:, dmap]                             # (n, 27)
+        idx = jnp.where(nk >= 0, nk * 8 + smap, -1)
+        x = _take_rows(storage, idx.reshape(-1)).reshape(
+            idx.shape[0], 27 * C)
+        return x @ wf
+
+    return _chunked_parents(chunk_fn, nbr.shape[0])
+
+
+def _up_p2c_nbr_raw(w, storage_p, nbr, cvalid):
+    """Transposed stride-2 conv parents -> children: per child slot only the
+    statically-even taps contribute (<= 8 of 27)."""
+    C = storage_p.shape[-1]
+
+    def chunk_fn(rows):
+        nb = nbr[rows]
+        outs = []
+        for k in range(8):
+            taps = _UP_MAP[k]                               # (m, 2): t, dtap
+            idx = nb[:, taps[:, 1]]                         # (n, m)
+            x = _take_rows(storage_p, idx.reshape(-1)).reshape(
+                idx.shape[0], -1)                           # (n, m*C)
+            wk = w.reshape(27, w.shape[3], w.shape[4])[taps[:, 0]]
+            outs.append(x @ wk.reshape(-1, w.shape[4]))
+        return jnp.stack(outs, axis=1)
+
+    out = _chunked_parents(chunk_fn, nbr.shape[0], out_child=True)
+    return out * cvalid[:, None].astype(out.dtype)
+
+
+def _dw_accum(chunk_fn, n_parents):
+    """Sum chunk_fn(raw_parent_rows) -> (27, Cin, Cout) over parent chunks.
+    chunk_fn receives UNCLAMPED rows (possibly >= n_parents): it must clamp
+    for indexing and zero padded rows' cotangents via _pad_mask."""
+    cr = _CHUNK_ROWS // 8
+    if n_parents <= cr:
+        return chunk_fn(jnp.arange(n_parents, dtype=jnp.int32))
+    n_chunks = -(-n_parents // cr)
+    idx = jnp.arange(n_chunks * cr, dtype=jnp.int32).reshape(n_chunks, cr)
+    return jnp.sum(jax.lax.map(chunk_fn, idx), axis=0)
+
+
+def _pad_mask(rows, n_parents):
+    return (rows < n_parents)[:, None].astype(jnp.float32)
+
+
+def _make_pad_safe_ct(ct):
+    """ct reshaped to (P, 8, Cout) for slot indexing."""
+    return ct.reshape(-1, 8, ct.shape[-1])
+
+
+@jax.custom_vjp
+def subm_conv_child_nbr(w, storage, nbr, cvalid):
+    return _subm_child_nbr_raw(w, storage, nbr, cvalid)
+
+
+def _scc_fwd(w, storage, nbr, cvalid):
+    return subm_conv_child_nbr(w, storage, nbr, cvalid), \
+        (w, storage, nbr, cvalid)
+
+
+def _scc_bwd(res, ct):
+    w, storage, nbr, cvalid = res
+    ct = ct * cvalid[:, None].astype(ct.dtype)
+    dx = _subm_child_nbr_raw(_flipT(w), ct, nbr, cvalid)
+    ct8 = _make_pad_safe_ct(ct)
+    n_parents = nbr.shape[0]
+
+    def chunk(rows):
+        pm = _pad_mask(rows, n_parents)
+        rc = jnp.minimum(rows, n_parents - 1)
+        acc = jnp.zeros((27, w.shape[3], w.shape[4]), w.dtype)
+        for k in range(8):
+            x = _gather_x27_child(storage, nbr, rc, k)
+            ctk = ct8[rc, k] * pm
+            acc = acc + jnp.einsum("ntc,no->tco", x, ctk)
+        return acc
+
+    dw = _shape_dw(_dw_accum(chunk, n_parents), w)
+    return dw, dx, None, None
+
+
+subm_conv_child_nbr.defvjp(_scc_fwd, _scc_bwd)
+
+
+@jax.custom_vjp
+def subm_conv_parent_nbr(w, storage_p, nbr, pactive):
+    return _subm_parent_nbr_raw(w, storage_p, nbr, pactive)
+
+
+def _scp_fwd(w, storage_p, nbr, pactive):
+    return subm_conv_parent_nbr(w, storage_p, nbr, pactive), \
+        (w, storage_p, nbr, pactive)
+
+
+def _scp_bwd(res, ct):
+    w, storage_p, nbr, pactive = res
+    ct = ct * pactive[:, None].astype(ct.dtype)
+    dx = _subm_parent_nbr_raw(_flipT(w), ct, nbr, pactive)
+    n_parents = nbr.shape[0]
+    C = storage_p.shape[-1]
+
+    def chunk(rows):
+        rc = jnp.minimum(rows, n_parents - 1)
+        idx = nbr[rc]
+        x = _take_rows(storage_p, idx.reshape(-1)).reshape(*idx.shape, C)
+        ctk = ct[rc] * _pad_mask(rows, n_parents)
+        return jnp.einsum("ntc,no->tco", x, ctk)
+
+    dw = _shape_dw(_dw_accum(chunk, n_parents), w)
+    return dw, dx, None, None
+
+
+subm_conv_parent_nbr.defvjp(_scp_fwd, _scp_bwd)
+
+
+@jax.custom_vjp
+def down_conv_c2p_nbr(w, storage, nbr, pactive, cvalid):
+    # pactive/cvalid gate the backward only (outputs masked downstream)
+    return _down_c2p_nbr_raw(w, storage, nbr)
+
+
+def _dcp_fwd(w, storage, nbr, pactive, cvalid):
+    return down_conv_c2p_nbr(w, storage, nbr, pactive, cvalid), \
+        (w, storage, nbr, pactive, cvalid)
+
+
+def _dcp_bwd(res, ct):
+    w, storage, nbr, pactive, cvalid = res
+    ct = ct * pactive[:, None].astype(ct.dtype)
+    dx = _up_p2c_nbr_raw(_T(w), ct, nbr, cvalid)
+    n_parents = nbr.shape[0]
+    C = storage.shape[-1]
+    dmap = jnp.asarray(_DOWN_MAP[:, 0])
+    smap = jnp.asarray(_DOWN_MAP[:, 1])
+
+    def chunk(rows):
+        rc = jnp.minimum(rows, n_parents - 1)
+        nk = nbr[rc][:, dmap]
+        idx = jnp.where(nk >= 0, nk * 8 + smap, -1)
+        x = _take_rows(storage, idx.reshape(-1)).reshape(*idx.shape, C)
+        ctk = ct[rc] * _pad_mask(rows, n_parents)
+        return jnp.einsum("ntc,no->tco", x, ctk)
+
+    dw = _shape_dw(_dw_accum(chunk, n_parents), w)
+    return dw, dx, None, None, None
+
+
+down_conv_c2p_nbr.defvjp(_dcp_fwd, _dcp_bwd)
+
+
+@jax.custom_vjp
+def up_conv_p2c_nbr(w, storage_p, nbr, cvalid, pactive):
+    return _up_p2c_nbr_raw(w, storage_p, nbr, cvalid)
+
+
+def _upc_fwd(w, storage_p, nbr, cvalid, pactive):
+    return up_conv_p2c_nbr(w, storage_p, nbr, cvalid, pactive), \
+        (w, storage_p, nbr, cvalid, pactive)
+
+
+def _upc_bwd(res, ct):
+    w, storage_p, nbr, cvalid, pactive = res
+    ct = ct * cvalid[:, None].astype(ct.dtype)
+    dx = _down_c2p_nbr_raw(_T(w), ct, nbr) \
+        * pactive[:, None].astype(ct.dtype)
+    ct8 = _make_pad_safe_ct(ct)
+    n_parents = nbr.shape[0]
+    C = storage_p.shape[-1]
+
+    def chunk(rows):
+        rc = jnp.minimum(rows, n_parents - 1)
+        nb = nbr[rc]
+        pm = _pad_mask(rows, n_parents)
+        acc = jnp.zeros((27, w.shape[3], w.shape[4]), w.dtype)
+        for k in range(8):
+            taps = _UP_MAP[k]
+            idx = nb[:, taps[:, 1]]
+            x = _take_rows(storage_p, idx.reshape(-1)).reshape(*idx.shape, C)
+            ctk = ct8[rc, k] * pm
+            acc = acc.at[taps[:, 0]].add(
+                jnp.einsum("nmc,no->mco", x, ctk))
+        return acc
+
+    dw = _shape_dw(_dw_accum(chunk, n_parents), w)
+    return dw, dx, None, None, None
+
+
+up_conv_p2c_nbr.defvjp(_upc_fwd, _upc_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -623,13 +990,18 @@ def apply_hybrid(params, state, grid: sp.VoxelGrid, feats, *, training=False):
     r4 = res // 4
 
     ns = {}
-    # L0  (all sparse convs below run under gather-transpose custom VJPs)
-    x = subm_conv_child(params["conv0"]["conv"]["w"], feats, grid)
+    # one (P, 27) neighbor-row table shared by every sparse conv below —
+    # each tap is then a single arithmetic-indexed storage gather (see the
+    # neighbor-table section above); all convs run under gather-transpose
+    # custom VJPs
+    nbr = parent_neighbor_rows(grid)
+    # L0
+    x = subm_conv_child_nbr(params["conv0"]["conv"]["w"], feats, nbr, cval)
     c0, ns["conv0"] = _bn_relu_rows(params["conv0"], state["conv0"], x, cval, training)
     # L0 -> L1
-    x = down_conv_child_to_parent(params["conv1"]["conv"]["w"], c0, grid, pactive)
+    x = down_conv_c2p_nbr(params["conv1"]["conv"]["w"], c0, nbr, pactive, cval)
     x, ns["conv1"] = _bn_relu_rows(params["conv1"], state["conv1"], x, pactive, training)
-    x = subm_conv_parent(params["conv2"]["conv"]["w"], x, grid, pactive)
+    x = subm_conv_parent_nbr(params["conv2"]["conv"]["w"], x, nbr, pactive)
     c2, ns["conv2"] = _bn_relu_rows(params["conv2"], state["conv2"], x, pactive, training)
     # L1 -> L2 (dense from here down); activity at R/4 from parent occupancy
     occ_p = _scatter_parent_occupancy(grid, pactive)           # (R/2)^3 bool
@@ -651,7 +1023,7 @@ def apply_hybrid(params, state, grid: sp.VoxelGrid, feats, *, training=False):
     up, ns["conv9"] = _bn_relu_rows(params["conv9"], state["conv9"], up, pactive, training)
     x = c2 + up
     # L1 -> L0
-    up = up_conv_parent_to_child(params["conv11"]["conv"]["w"], x, grid, pactive)
+    up = up_conv_p2c_nbr(params["conv11"]["conv"]["w"], x, nbr, cval, pactive)
     up, ns["conv11"] = _bn_relu_rows(params["conv11"], state["conv11"], up, cval, training)
     mid = c0 + up
     out = mid @ params["out_lin"]["w"]

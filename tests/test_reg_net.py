@@ -182,6 +182,74 @@ def test_custom_vjp_up_dense_to_parent():
         (w, dense_raw), (w, dense_raw), (0, 1), (0, 1))
 
 
+def test_nbr_ops_match_table_ops():
+    """The neighbor-table conv kernels (one arithmetic-indexed gather per
+    tap) must equal the two-level table-lookup kernels — values AND
+    gradients, for all four op types."""
+    grid, feats = make_grid(res=16, p_keep=0.4, c_in=6)
+    nbr = reg_net.parent_neighbor_rows(grid)
+    P = grid.parents.shape[0]
+    pactive = grid.pvalid & jnp.any(grid.cvalid.reshape(-1, 8), axis=1)
+    cval = grid.cvalid
+    xp = jnp.asarray(RNG.randn(P, 6).astype(np.float32)) * pactive[:, None]
+    w = jnp.asarray(RNG.randn(3, 3, 3, 6, 5).astype(np.float32)) * 0.2
+    ct_c = jnp.asarray(RNG.randn(grid.capacity, 5).astype(np.float32)) \
+        * cval[:, None]
+    ct_p = jnp.asarray(RNG.randn(P, 5).astype(np.float32)) * pactive[:, None]
+
+    cases = [
+        ("subm_child",
+         lambda w_, x_: jnp.sum(
+             reg_net.subm_conv_child_nbr(w_, x_, nbr, cval) * ct_c),
+         lambda w_, x_: jnp.sum(
+             reg_net.subm_conv_child(w_, x_, grid) * ct_c),
+         feats),
+        ("subm_parent",
+         lambda w_, x_: jnp.sum(
+             reg_net.subm_conv_parent_nbr(w_, x_, nbr, pactive) * ct_p),
+         lambda w_, x_: jnp.sum(
+             reg_net.subm_conv_parent(w_, x_, grid, pactive) * ct_p),
+         xp),
+        ("down_c2p",
+         lambda w_, x_: jnp.sum(
+             reg_net.down_conv_c2p_nbr(w_, x_, nbr, pactive, cval) * ct_p),
+         lambda w_, x_: jnp.sum(
+             reg_net.down_conv_child_to_parent(w_, x_, grid, pactive) * ct_p),
+         feats),
+        ("up_p2c",
+         lambda w_, x_: jnp.sum(
+             reg_net.up_conv_p2c_nbr(w_, x_, nbr, cval, pactive) * ct_c),
+         lambda w_, x_: jnp.sum(
+             reg_net.up_conv_parent_to_child(w_, x_, grid, pactive) * ct_c),
+         xp),
+    ]
+    for name, f_new, f_old, x in cases:
+        v_new = float(f_new(w, x))
+        v_old = float(f_old(w, x))
+        assert np.isclose(v_new, v_old, rtol=1e-4), (name, v_new, v_old)
+        g_new = jax.grad(f_new, argnums=(0, 1))(w, x)
+        g_old = jax.grad(f_old, argnums=(0, 1))(w, x)
+        for a, b in zip(g_new, g_old):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5, err_msg=name)
+
+
+def test_parent_neighbor_rows():
+    """nbr[p, t] must equal the parent-table lookup at parents[p]+off_t."""
+    grid, _ = make_grid(res=16, p_keep=0.4)
+    nbr = np.asarray(reg_net.parent_neighbor_rows(grid))
+    half = grid.res // 2
+    table = np.asarray(grid.parent_table)
+    parents = np.asarray(grid.parents)
+    offs = np.asarray(reg_net._OFFSETS_NP)
+    for t in range(27):
+        nb = parents + offs[t]
+        inb = np.all((nb >= 0) & (nb < half), axis=-1)
+        c = np.clip(nb, 0, half - 1)
+        expect = np.where(inb, table[c[:, 0], c[:, 1], c[:, 2]], -1)
+        np.testing.assert_array_equal(nbr[:, t], expect)
+
+
 def test_hybrid_gradients_match_dense():
     """End-to-end U-Net gradients: the hybrid path (custom gather-transpose
     VJPs) must match the dense path (XLA conv autodiff) — params and input
