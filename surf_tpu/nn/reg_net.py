@@ -128,22 +128,51 @@ def _build_up_map():
     return out
 
 
-def _pad_up_map(up_map):
-    """Pad the ragged per-slot tap lists to (8, 8): t_pad = 27 selects an
-    all-zero weight row, d_pad = -1 gathers a zero input row, so padded
-    entries contribute exactly zero."""
-    t_pad = _np.full((8, 8), 27, _np.int32)
-    d_pad = _np.full((8, 8), -1, _np.int32)
+def _build_box64_maps():
+    """The 216 (slot, tap) child references of a parent hit only the 64
+    distinct children at 2p + d, d in {-1,0,1,2}^3 — a 4^3 box.  Gathering
+    the box ONCE per parent cuts the child-conv gather bytes 216/64 = 3.4x;
+    the per-slot tap selection then happens inside the weight tensor.
+
+    Returns (dmap (64,) parent-tap, smap (64,) slot', sel (8, 27) box index
+    of child-slot k's tap-t neighbor)."""
+    ds = (-1, 0, 1, 2)
+    dmap = _np.zeros(64, _np.int32)
+    smap = _np.zeros(64, _np.int32)
+    for j, (dx, dy, dz) in enumerate(
+            (a, b, c) for a in ds for b in ds for c in ds):
+        pd, s2 = [], 0
+        for v in (dx, dy, dz):
+            pd.append((v - (v & 1)) // 2)
+            s2 = (s2 << 1) | (v & 1)
+        dmap[j] = _tap_index(pd)
+        smap[j] = s2
+    sel = _np.zeros((8, 27), _np.int32)
+    for k in range(8):
+        kb = [(k >> 2) & 1, (k >> 1) & 1, k & 1]
+        for t, off in enumerate(_OFFSETS):
+            d = [kb[a] + off[a] for a in range(3)]          # in {-1,0,1,2}
+            sel[k, t] = (ds.index(d[0]) * 4 + ds.index(d[1])) * 4 \
+                + ds.index(d[2])
+    return dmap, smap, sel
+
+
+def _build_up_t27(up_map):
+    """(8, 27): for child slot k and PARENT tap d -> kernel tap t, or 27
+    (selects a zero weight row) where no tap of the transposed stride-2
+    conv maps there.  For fixed (k, d) the contributing t is unique."""
+    u = _np.full((8, 27), 27, _np.int32)
     for k, taps in enumerate(up_map):
-        t_pad[k, : len(taps)] = taps[:, 0]
-        d_pad[k, : len(taps)] = taps[:, 1]
-    return t_pad, d_pad
+        for t, d in taps:
+            u[k, d] = t
+    return u
 
 
 _SUBM_CHILD_MAP = _build_subm_child_map()
 _DOWN_MAP = _build_down_map()
 _UP_MAP = _build_up_map()
-_UP_T_PAD, _UP_D_PAD = _pad_up_map(_UP_MAP)
+_BOX64_DMAP, _BOX64_SMAP, _BOX64_SEL = _build_box64_maps()
+_UP_T27 = _build_up_t27(_UP_MAP)
 
 
 def parent_neighbor_rows(grid):
@@ -203,27 +232,38 @@ def _chunked_rows(fn, n_rows):
 # ---------------------------------------------------------------------------
 
 
-def _subm_child_rows(storage, nbr, rows):
-    """All 8 slots' 27-tap gathers in ONE batched take: (n, 8, 27, C).
-    (A per-slot loop unrolls to 8 gathers + 8 matmuls; one big gather
-    compiles ~8x smaller and batches better.)"""
+def _box64_rows(storage, nbr, rows):
+    """The 4^3 distinct-children box of each parent in ONE take: (n, 64, C).
+    216/64 = 3.4x fewer gather bytes than per-(slot, tap) references."""
     C = storage.shape[-1]
-    dmap = jnp.asarray(_SUBM_CHILD_MAP[:, :, 0])            # (8, 27)
-    smap = jnp.asarray(_SUBM_CHILD_MAP[:, :, 1])
-    nk = nbr[rows][:, dmap]                                 # (n, 8, 27)
+    dmap = jnp.asarray(_BOX64_DMAP)                         # (64,)
+    smap = jnp.asarray(_BOX64_SMAP)
+    nk = nbr[rows][:, dmap]                                 # (n, 64)
     idx = jnp.where(nk >= 0, nk * 8 + smap, -1)
     return _take_rows(storage, idx.reshape(-1)).reshape(*idx.shape, C)
 
 
+def _subm_w64(w):
+    """(64*Cin, 8*Cout): per-slot tap weights scattered onto the 64-box
+    (W2[j -> (k, t): SEL[k, t] = j])."""
+    C, Co = w.shape[3], w.shape[4]
+    w27 = w.reshape(27, C, Co)
+    w2 = jnp.zeros((8, 64, C, Co), w.dtype)
+    k_idx = _np.repeat(_np.arange(8), 27)
+    w2 = w2.at[k_idx, _BOX64_SEL.reshape(-1)].set(jnp.tile(w27, (8, 1, 1, 1)
+                                                           ).reshape(216, C, Co))
+    return w2.transpose(1, 2, 0, 3).reshape(64 * C, 8 * Co)
+
+
 def _subm_child_nbr_raw(w, storage, nbr, cvalid):
-    """Submanifold conv at child level via the neighbor table."""
-    wf = _w_flat(w)
-    C = storage.shape[-1]
+    """Submanifold conv at child level via the 64-box gather."""
+    C, Co = w.shape[3], w.shape[4]
+    w64 = _subm_w64(w)
 
     def chunk_fn(rows):
-        x = _subm_child_rows(storage, nbr, rows)            # (n, 8, 27, C)
+        x = _box64_rows(storage, nbr, rows)                 # (n, 64, C)
         n = x.shape[0]
-        return (x.reshape(n * 8, 27 * C) @ wf).reshape(n, 8, -1)
+        return (x.reshape(n, 64 * C) @ w64).reshape(n, 8, Co)
 
     out = _chunked_parents(chunk_fn, nbr.shape[0], out_child=True)
     return out * cvalid[:, None].astype(out.dtype)
@@ -260,35 +300,32 @@ def _down_c2p_nbr_raw(w, storage, nbr):
     return _chunked_parents(chunk_fn, nbr.shape[0])
 
 
+def _up_w27(w):
+    """(27*C, 8*Cout): transposed-conv weights laid out per PARENT tap d —
+    W2[d, :, k, :] = w[t(k, d)] (zero where no kernel tap maps), so the
+    up-conv gathers only the 27 parent rows each parent chunk shares."""
+    C, Co = w.shape[3], w.shape[4]
+    w28 = jnp.concatenate(
+        [w.reshape(27, C, Co), jnp.zeros((1, C, Co), w.dtype)])
+    w2 = w28[jnp.asarray(_UP_T27)]                          # (8, 27, C, Co)
+    return w2.transpose(1, 2, 0, 3).reshape(27 * C, 8 * Co)
+
+
 def _up_p2c_nbr_raw(w, storage_p, nbr, cvalid):
     """Transposed stride-2 conv parents -> children: per child slot only the
-    statically-even taps contribute (<= 8 of 27)."""
-    C = storage_p.shape[-1]
-    wk = _up_w_padded(w)                                    # (8, 8*C, Cout)
+    statically-even taps contribute (<= 8 of 27); gathers the shared 27
+    parent rows once per parent."""
+    C, Co = w.shape[3], w.shape[4]
+    w27 = _up_w27(w)
 
     def chunk_fn(rows):
-        x = _up_parent_rows(storage_p, nbr, rows)           # (n, 8, 8, C)
-        n = x.shape[0]
-        return jnp.einsum("nkm,kmo->nko", x.reshape(n, 8, 8 * C), wk)
+        idx = nbr[rows]                                     # (n, 27)
+        x = _take_rows(storage_p, idx.reshape(-1)).reshape(
+            idx.shape[0], 27 * C)
+        return (x @ w27).reshape(-1, 8, Co)
 
     out = _chunked_parents(chunk_fn, nbr.shape[0], out_child=True)
     return out * cvalid[:, None].astype(out.dtype)
-
-
-def _up_w_padded(w):
-    """(8, 8*C, Cout): per-slot padded tap weights (zero row at t=27)."""
-    w27 = w.reshape(27, w.shape[3], w.shape[4])
-    w28 = jnp.concatenate([w27, jnp.zeros((1,) + w27.shape[1:], w.dtype)])
-    return w28[jnp.asarray(_UP_T_PAD)].reshape(8, -1, w.shape[4])
-
-
-def _up_parent_rows(storage_p, nbr, rows):
-    """Padded per-slot parent-tap gathers in one take: (n, 8, 8, C)."""
-    C = storage_p.shape[-1]
-    d_pad = jnp.asarray(_np.maximum(_UP_D_PAD, 0))
-    is_pad = jnp.asarray(_UP_T_PAD == 27)
-    idx = jnp.where(is_pad, -1, nbr[rows][:, d_pad])        # (n, 8, 8)
-    return _take_rows(storage_p, idx.reshape(-1)).reshape(*idx.shape, C)
 
 
 def _dw_accum(chunk_fn, n_parents):
@@ -329,17 +366,23 @@ def _scc_bwd(res, ct):
     ct8 = _make_pad_safe_ct(ct)
     n_parents = nbr.shape[0]
 
+    C, Co = w.shape[3], w.shape[4]
+
     def chunk(rows):
         pm = _pad_mask(rows, n_parents)
         rc = jnp.minimum(rows, n_parents - 1)
-        x = _subm_child_rows(storage, nbr, rc)              # (n, 8, 27, C)
+        x = _box64_rows(storage, nbr, rc)                   # (n, 64, C)
         ctk = ct8[rc] * pm[:, :, None]                      # (n, 8, Cout)
         n = x.shape[0]
-        return jnp.einsum("mtc,mo->tco",
-                          x.reshape(n * 8, 27, -1), ctk.reshape(n * 8, -1))
+        # M[j, c, k, o] = sum_n x64 ct: one MXU matmul per chunk; the
+        # (slot, tap) -> box-index contraction happens once afterwards
+        return x.reshape(n, 64 * C).T @ ctk.reshape(n, 8 * Co)
 
-    dw = _shape_dw(_dw_accum(chunk, n_parents), w)
-    return dw, dx, None, None
+    M = _dw_accum(chunk, n_parents).reshape(64, C, 8, Co)
+    dw = jnp.zeros((27, C, Co), w.dtype)
+    for k in range(8):
+        dw = dw + M[jnp.asarray(_BOX64_SEL[k]), :, k, :]
+    return _shape_dw(dw, w), dx, None, None
 
 
 subm_conv_child_nbr.defvjp(_scc_fwd, _scc_bwd)
@@ -430,20 +473,24 @@ def _upc_bwd(res, ct):
     n_parents = nbr.shape[0]
     C = storage_p.shape[-1]
 
+    Co = w.shape[4]
+
     def chunk(rows):
         rc = jnp.minimum(rows, n_parents - 1)
         pm = _pad_mask(rows, n_parents)
-        x = _up_parent_rows(storage_p, nbr, rc)             # (n, 8, 8, C)
+        idx = nbr[rc]                                       # (n, 27)
+        x = _take_rows(storage_p, idx.reshape(-1)).reshape(
+            idx.shape[0], 27 * C)
         ctk = ct8[rc] * pm[:, :, None]                      # (n, 8, Cout)
-        partial = jnp.einsum("nkjc,nko->kjco", x, ctk)      # (8, 8, C, Cout)
-        # padded entries land on tap 27 (x there is zero anyway) and drop
-        dw28 = jnp.zeros((28, C, w.shape[4]), w.dtype)
-        dw28 = dw28.at[jnp.asarray(_UP_T_PAD).reshape(-1)].add(
-            partial.reshape(64, C, -1))
-        return dw28[:27]
+        return x.T @ ctk.reshape(-1, 8 * Co)                # (27C, 8Co)
 
-    dw = _shape_dw(_dw_accum(chunk, n_parents), w)
-    return dw, dx, None, None, None
+    M = _dw_accum(chunk, n_parents).reshape(27, C, 8, Co)
+    # route M[d, :, k, :] to kernel tap t = _UP_T27[k, d]; t = 27 (no tap
+    # of the transposed conv maps there) drops
+    dw28 = jnp.zeros((28, C, Co), w.dtype)
+    dw28 = dw28.at[jnp.asarray(_UP_T27).reshape(-1)].add(
+        M.transpose(2, 0, 1, 3).reshape(8 * 27, C, Co))
+    return _shape_dw(dw28[:27], w), dx, None, None, None
 
 
 up_conv_p2c_nbr.defvjp(_upc_fwd, _upc_bwd)
