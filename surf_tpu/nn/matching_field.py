@@ -24,9 +24,13 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import (
-    trilinear_sample_3d, resize_bilinear_2d, make_pixel_grid, pixels_to_rays,
-    ray_z_cos,
+    trilinear_sample_3d, pack_trilinear_corners, trilinear_sample_packed_3d,
+    resize_bilinear_2d, make_pixel_grid, pixels_to_rays, ray_z_cos,
 )
+
+# corner-pack the (stop-gradient) matching volume for the all-views pass
+# when the packed copy stays under this many bytes (8x the volume)
+_PACK_BYTES_LIMIT = 800 * 1024 * 1024
 
 
 def _band_from_depth(pre_z_val, stage_range, near_ori, far_ori):
@@ -42,12 +46,15 @@ def _band_from_depth(pre_z_val, stage_range, near_ori, far_ori):
 
 
 def depth_render(key, rays_o, rays_d, near, far, c2w, matching_volume,
-                 n_samples: int, *, perturb: bool, perturb_gate=None):
+                 n_samples: int, *, perturb: bool, perturb_gate=None,
+                 packed_dims=None):
     """near/far: (nr, k) — one column per sampling band.
 
     ``perturb_gate`` (traced bool) zeroes the jitter for views the reference
     renders unperturbed (matching_field.py:133 passes perturb=False for
     non-ref/src views).
+    With ``packed_dims`` the volume is a ``pack_trilinear_corners`` copy of
+    the original (X, Y, Z) = packed_dims volume (value-only passes).
     Returns (render_depth (nr,), occ_reg scalar).
     """
     nr, k = near.shape
@@ -66,7 +73,12 @@ def depth_render(key, rays_o, rays_d, near, far, c2w, matching_volume,
 
     # reference samples the density volume through F.grid_sample defaults
     # (align_corners=False), matching_field.py:48 -> projector.py:406
-    density = trilinear_sample_3d(matching_volume, pts, align_corners=False)[..., 0]
+    if packed_dims is not None:
+        density = trilinear_sample_packed_3d(
+            matching_volume, pts, packed_dims, align_corners=False)[..., 0]
+    else:
+        density = trilinear_sample_3d(matching_volume, pts,
+                                      align_corners=False)[..., 0]
     weights = jax.nn.softmax(density, axis=-1)
 
     cos = ray_z_cos(rays_d, c2w)
@@ -111,7 +123,8 @@ def apply(key, conf_static, ipts, matching_volume, stage_idx, range_ratios,
     keys = jax.random.split(key, nv)
     keep_grad = (jnp.arange(nv) == 0) | (jnp.arange(nv) == jnp.asarray(src_idx))
 
-    def per_view(k, intr, c2w, near_far, pre_depth, keep, mv):
+    def per_view(k, intr, c2w, near_far, pre_depth, keep, mv,
+                 packed_dims=None):
         rays_o, rays_d = pixels_to_rays(pixels, intr, c2w)
         near_ori, far_ori = near_far[0], near_far[1]
         if pre_depths is not None:
@@ -133,7 +146,8 @@ def apply(key, conf_static, ipts, matching_volume, stage_idx, range_ratios,
 
         d, occ = depth_render(k, rays_o, rays_d, near, far, c2w,
                               mv, n_samples,
-                              perturb=perturb, perturb_gate=keep)
+                              perturb=perturb, perturb_gate=keep,
+                              packed_dims=packed_dims)
         d = d.reshape(h, w)
         if level != 1:
             d = resize_bilinear_2d(d[..., None], (img_h, img_w))[..., 0]
@@ -150,10 +164,18 @@ def apply(key, conf_static, ipts, matching_volume, stage_idx, range_ratios,
         # (sequential lax.map: one view's 704^3-volume gather indices live at
         # a time — a vmap would materialize all views' at once, ~12 GB)
         mv_stop = jax.lax.stop_gradient(matching_volume)
+        X, Y, Z, C = matching_volume.shape
+        packed_dims = None
+        if (X + 1) * (Y + 1) * (Z + 1) * 8 * C \
+                * matching_volume.dtype.itemsize <= _PACK_BYTES_LIMIT:
+            # one 8C-row gather per sample instead of 8 scalar gathers
+            mv_stop = pack_trilinear_corners(mv_stop)
+            packed_dims = (X, Y, Z)
 
         def per_view_stop(args):
             k, intr, c2w, nf, pre, keep = jax.lax.stop_gradient(args)
-            return per_view(k, intr, c2w, nf, pre, keep, mv_stop)
+            return per_view(k, intr, c2w, nf, pre, keep, mv_stop,
+                            packed_dims=packed_dims)
 
         depths_all, occ_all = jax.lax.map(
             per_view_stop, (keys, intrs, c2ws, near_fars, pre_arg, keep_grad))

@@ -21,7 +21,8 @@ import jax.numpy as jnp
 
 from .core import linear_init, linear_apply, elu
 from ..ops import (
-    bilinear_sample_2d, pixel_to_normalized, in_frustum_mask,
+    bilinear_sample_2d, pack_bilinear_corners, bilinear_sample_packed,
+    pixel_to_normalized, in_frustum_mask,
 )
 from ..ops.projection import project_points_all
 from ..ops import sparse as sp
@@ -44,6 +45,12 @@ def back_project(params, features, world_pts, intrs, c2ws, stage_idx, hw,
     per-view per-level bilinear temporaries would exceed HBM unchunked).
     """
     h, w = features[-1].shape[1:3]
+    # corner-packed feature maps (built once, outside the chunk loop): one
+    # 4C-row gather per (point, view, level) instead of 4, and the VJP
+    # scatters one 4C row per sample — unpacking back to d_feature is
+    # autodiff of the pure slice/pad pack
+    packed_feats = [(jax.vmap(pack_bilinear_corners)(f), f.shape[1:3])
+                    for f in features[stage_idx:]]
 
     def bp_chunk(pts):
         xy, depth = project_points_all(pts, intrs, c2ws)  # (nv, c, 2/[])
@@ -54,9 +61,10 @@ def back_project(params, features, world_pts, intrs, c2ws, stage_idx, hw,
         mask = in_frustum_mask(xy, depth, (h, w), inclusive=True)  # (nv, c)
 
         warp = None
-        for feat in features[stage_idx:]:
+        for pf, f_hw in packed_feats:
             sampled = jax.vmap(
-                lambda f, g: bilinear_sample_2d(f, g, align_corners=True))(feat, grid)
+                lambda f, g: bilinear_sample_packed(
+                    f, g, f_hw, align_corners=True))(pf, grid)
             warp = sampled if warp is None else warp + sampled  # (nv, c, ch)
 
         x = linear_apply(params["agg_mlp"][1],
@@ -103,15 +111,18 @@ def depth_consistency(world_pts, cand_valid, depths, intrs, c2ws, stage_range):
     """
     nv, H, W = depths.shape
     n = world_pts.shape[0]
+    # corner-packed depth maps: one 16-byte row gather per (point, view)
+    # instead of 4 scalar gathers (the whole filter is value-only)
+    packed = jax.vmap(pack_bilinear_corners)(depths[..., None])
 
     def count_chunk(pts):
         xy, depth = project_points_all(pts, intrs, c2ws)      # (nv, c, ...)
         grid = pixel_to_normalized(xy, (H, W))
         mask = in_frustum_mask(xy, depth, (H, W), inclusive=True)
         warp = jax.vmap(
-            lambda d, g: bilinear_sample_2d(d[..., None], g,
-                                            align_corners=True)[..., 0]
-        )(depths, grid)
+            lambda p, g: bilinear_sample_packed(p, g, (H, W),
+                                                align_corners=True)[..., 0]
+        )(packed, grid)
         ok = (jnp.abs(warp - depth) < stage_range) & mask
         return jnp.sum(ok.astype(jnp.int32), axis=0)
 
@@ -198,13 +209,14 @@ def depth_consistency_geocheck(world_pts, cand_valid, depths, intrs, c2ws,
     masked = jax.lax.stop_gradient(geocheck_depths(depths, intrs, c2ws))
 
     nv, H, W = depths.shape
+    packed = jax.vmap(pack_bilinear_corners)(masked[..., None])
 
     def count_chunk(pts):
         xy, depth = project_points_all(pts, intrs, c2ws)
         grid = pixel_to_normalized(xy, (H, W))
         mask = in_frustum_mask(xy, depth, (H, W), inclusive=True)
-        warp = jax.vmap(lambda d, g: bilinear_sample_2d(
-            d[..., None], g, align_corners=True)[..., 0])(masked, grid)
+        warp = jax.vmap(lambda p, g: bilinear_sample_packed(
+            p, g, (H, W), align_corners=True)[..., 0])(packed, grid)
         ok = (jnp.abs(warp - depth) < stage_range) & mask & (warp > 0)
         return jnp.sum(ok.astype(jnp.int32), axis=0)
 

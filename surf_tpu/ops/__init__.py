@@ -1,7 +1,11 @@
 from .grid_sample import (
     bilinear_sample_2d,
+    pack_bilinear_corners,
+    bilinear_sample_packed,
     nearest_sample_2d,
     trilinear_sample_3d,
+    pack_trilinear_corners,
+    trilinear_sample_packed_3d,
     nearest_sample_3d,
     lookup_volume,
     resize_bilinear_2d,

@@ -31,6 +31,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
+from functools import partial as _fpartial
 
 
 # (8, 3) binary corner offsets shared by the stacked-gather interpolators
@@ -133,6 +134,111 @@ def bilinear_sample_2d(image, coords, *, normalized=True, align_corners=True):
     return _bilinear_core(image, jnp.stack([x, y], axis=-1))
 
 
+def pack_bilinear_corners(image):
+    """(H, W, C) -> (H+1, W+1, 4C) corner-packed image: row (j, i) holds the
+    2x2 window of the sample whose floor cell is (x0, y0) = (i-1, j-1), as
+    [v(x0,y0), v(x0+1,y0), v(x0,y0+1), v(x0+1,y0+1)] with zeros beyond the
+    edges.  ONE row gather then fetches a bilinear sample's whole footprint
+    (4x fewer gather descriptors — the scalar-gather latency dominates image
+    sampling of depth maps at fine stages)."""
+    H, W, C = image.shape
+    p = jnp.pad(image, ((1, 1), (1, 1), (0, 0)))
+    return jnp.concatenate(
+        [p[0:H + 1, 0:W + 1], p[0:H + 1, 1:W + 2],
+         p[1:H + 2, 0:W + 1], p[1:H + 2, 1:W + 2]], axis=-1)
+
+
+def _packed_tap_geometry(packed, hw, coords, normalized, align_corners):
+    H, W = hw
+    x = coords[..., 0]
+    y = coords[..., 1]
+    if normalized:
+        x = _unnormalize(x, W, align_corners)
+        y = _unnormalize(y, H, align_corners)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    # rows exist for x0 in [-1, W-1], y0 in [-1, H-1]; anything further out
+    # samples zero everywhere
+    inb = (x0i >= -1) & (x0i <= W - 1) & (y0i >= -1) & (y0i <= H - 1)
+    xi = jnp.clip(x0i, -1, W - 1) + 1
+    yi = jnp.clip(y0i, -1, H - 1) + 1
+    idx = yi * (W + 1) + xi
+    return idx, inb, fx, fy
+
+
+def _packed_gather(packed, idx, inb):
+    C4 = packed.shape[-1]
+    vals = packed.reshape(-1, C4)[idx.reshape(-1)].reshape(*idx.shape, C4)
+    return vals * inb[..., None].astype(packed.dtype)
+
+
+def bilinear_sample_packed(packed, coords, hw, *, normalized=True,
+                           align_corners=True):
+    """Bilinear sampling from a ``pack_bilinear_corners`` image; numerically
+    equal to ``bilinear_sample_2d`` of the original
+    (tests/test_grid_sample.py).  4x fewer gather descriptors than the
+    per-corner form; the custom VJP scatters ONE 4C row per sample
+    (channel-major) instead of 4 C-rows — unpacking d_packed back to
+    d_image is autodiff of the (pure slice/pad) pack."""
+    return _bsp_core(packed, coords, hw, normalized, align_corners)
+
+
+@_fpartial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _bsp_core(packed, coords, hw, normalized, align_corners):
+    idx, inb, fx, fy = _packed_tap_geometry(packed, hw, coords, normalized,
+                                            align_corners)
+    C = packed.shape[-1] // 4
+    vals = _packed_gather(packed, idx, inb)
+    fx, fy = fx[..., None], fy[..., None]
+    v00, v10, v01, v11 = (vals[..., 0:C], vals[..., C:2 * C],
+                          vals[..., 2 * C:3 * C], vals[..., 3 * C:])
+    top = v00 * (1.0 - fx) + v10 * fx
+    bot = v01 * (1.0 - fx) + v11 * fx
+    return top * (1.0 - fy) + bot * fy
+
+
+def _bsp_fwd(packed, coords, hw, normalized, align_corners):
+    return _bsp_core(packed, coords, hw, normalized, align_corners), \
+        (packed, coords)
+
+
+def _bsp_bwd(hw, normalized, align_corners, res, ct):
+    packed, coords = res
+    idx, inb, fx, fy = _packed_tap_geometry(packed, hw, coords, normalized,
+                                            align_corners)
+    C4 = packed.shape[-1]
+    C = C4 // 4
+    gx, gy = 1.0 - fx, 1.0 - fy
+    w4 = jnp.stack([gx * gy, fx * gy, gx * fy, fx * fy], axis=-1)  # (...,4)
+    # d_packed: one channel-major 4C-row scatter per sample
+    ctw = (ct[..., None, :] * w4[..., None]).reshape(*ct.shape[:-1], C4)
+    col = jnp.where(inb, idx, packed.shape[0] * packed.shape[1]).reshape(-1)
+    upd = ctw.reshape(-1, C4).T                              # (4C, N)
+    n_rows = packed.shape[0] * packed.shape[1]
+    dflat = jnp.zeros((C4, n_rows + 1), packed.dtype).at[:, col].add(
+        upd, mode="drop")
+    d_packed = dflat[:, :n_rows].T.reshape(packed.shape)
+
+    # d_coords through the weights (corner indices carry no gradient)
+    vals = _packed_gather(packed, idx, inb)
+    s = jnp.stack([jnp.sum(vals[..., k * C:(k + 1) * C] * ct, axis=-1)
+                   for k in range(4)], axis=-1)              # (..., 4)
+    dfx = (s[..., 1] - s[..., 0]) * gy + (s[..., 3] - s[..., 2]) * fy
+    dfy = (s[..., 2] - s[..., 0]) * gx + (s[..., 3] - s[..., 1]) * fx
+    H, W = hw
+    if normalized:
+        dfx = dfx * (0.5 * (W - 1) if align_corners else 0.5 * W)
+        dfy = dfy * (0.5 * (H - 1) if align_corners else 0.5 * H)
+    return d_packed, jnp.stack([dfx, dfy], axis=-1)
+
+
+_bsp_core.defvjp(_bsp_fwd, _bsp_bwd)
+
+
 def nearest_sample_2d(image, coords, *, normalized=True, align_corners=True):
     """Nearest-neighbor 2D sampling, zero outside."""
     H, W, C = image.shape
@@ -196,6 +302,62 @@ def trilinear_sample_3d(volume, coords, *, normalized=True, align_corners=True):
         w = (fx if ox else gx) * (fy if oy else gy) * (fz if oz else gz)
         w = w * valid.astype(volume.dtype)
         term = vals * w[..., None]
+        out = term if out is None else out + term
+    return out
+
+
+def pack_trilinear_corners(volume):
+    """(X, Y, Z, C) -> (X+1, Y+1, Z+1, 8C) corner-packed volume: row
+    (i, j, k) holds the 2x2x2 window of the sample whose floor cell is
+    (i-1, j-1, k-1), corner-major in the binary (ox, oy, oz) order of
+    ``_CORNER_OFFSETS``, zeros beyond the edges.  ONE row gather then
+    fetches a trilinear sample's whole footprint — 8x fewer gather
+    descriptors for value-only passes (8x the memory: gate by size)."""
+    X, Y, Z, C = volume.shape
+    p = jnp.pad(volume, ((1, 1), (1, 1), (1, 1), (0, 0)))
+    return jnp.concatenate(
+        [p[ox:X + 1 + ox, oy:Y + 1 + oy, oz:Z + 1 + oz]
+         for ox, oy, oz in np.asarray(_CORNER_OFFSETS)], axis=-1)
+
+
+def trilinear_sample_packed_3d(packed, coords, dims, *, normalized=True,
+                               align_corners=True):
+    """Trilinear sampling from a ``pack_trilinear_corners`` volume;
+    numerically equal to ``trilinear_sample_3d`` of the original.  VALUE
+    path only (no custom transpose — use inside stop-gradient regions)."""
+    X, Y, Z = dims
+    C = packed.shape[-1] // 8
+    x = coords[..., 0]
+    y = coords[..., 1]
+    z = coords[..., 2]
+    if normalized:
+        x = _unnormalize(x, X, align_corners)
+        y = _unnormalize(y, Y, align_corners)
+        z = _unnormalize(z, Z, align_corners)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    z0 = jnp.floor(z)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    fz = (z - z0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    z0i = z0.astype(jnp.int32)
+    inb = (x0i >= -1) & (x0i <= X - 1) & (y0i >= -1) & (y0i <= Y - 1) & \
+        (z0i >= -1) & (z0i <= Z - 1)
+    xi = jnp.clip(x0i, -1, X - 1) + 1
+    yi = jnp.clip(y0i, -1, Y - 1) + 1
+    zi = jnp.clip(z0i, -1, Z - 1) + 1
+    idx = (xi * (Y + 1) + yi) * (Z + 1) + zi
+    vals = packed.reshape(-1, 8 * C)[idx.reshape(-1)].reshape(
+        *idx.shape, 8 * C)
+    vals = vals * inb[..., None].astype(packed.dtype)
+    gx, gy, gz = 1.0 - fx, 1.0 - fy, 1.0 - fz
+    out = None
+    for k in range(8):
+        ox, oy, oz = (k >> 2) & 1, (k >> 1) & 1, k & 1
+        w = (fx if ox else gx) * (fy if oy else gy) * (fz if oz else gz)
+        term = vals[..., k * C:(k + 1) * C] * w
         out = term if out is None else out + term
     return out
 

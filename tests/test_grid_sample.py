@@ -154,3 +154,57 @@ def test_bilinear_custom_vjp_matches_autodiff():
                                atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(gc_c), np.asarray(gc_r),
                                atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("align_corners", [True, False])
+def test_bilinear_packed_matches_unpacked(align_corners):
+    """pack_bilinear_corners + bilinear_sample_packed == bilinear_sample_2d,
+    including samples straddling and beyond the image border."""
+    from surf_tpu.ops import pack_bilinear_corners, bilinear_sample_packed
+    H, W, C = 13, 17, 3
+    img = jnp.asarray(RNG.randn(H, W, C).astype(np.float32))
+    coords = jnp.asarray(RNG.uniform(-1.6, 1.6, (500, 2)).astype(np.float32))
+    ref = bilinear_sample_2d(img, coords, align_corners=align_corners)
+    packed = pack_bilinear_corners(img)
+    got = bilinear_sample_packed(packed, coords, (H, W),
+                                 align_corners=align_corners)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("align_corners", [True, False])
+def test_trilinear_packed_matches_unpacked(align_corners):
+    from surf_tpu.ops import pack_trilinear_corners, trilinear_sample_packed_3d
+    X, Y, Z, C = 9, 11, 7, 2
+    vol = jnp.asarray(RNG.randn(X, Y, Z, C).astype(np.float32))
+    coords = jnp.asarray(RNG.uniform(-1.7, 1.7, (800, 3)).astype(np.float32))
+    ref = trilinear_sample_3d(vol, coords, align_corners=align_corners)
+    packed = pack_trilinear_corners(vol)
+    got = trilinear_sample_packed_3d(packed, coords, (X, Y, Z),
+                                     align_corners=align_corners)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_bilinear_packed_vjp_matches_unpacked():
+    """grads of sum(bilinear_sample_packed(pack(img))) w.r.t. img and coords
+    equal the unpacked path's."""
+    from surf_tpu.ops import pack_bilinear_corners, bilinear_sample_packed
+    H, W, C = 11, 9, 4
+    img = jnp.asarray(RNG.randn(H, W, C).astype(np.float32))
+    coords = jnp.asarray(RNG.uniform(-1.4, 1.4, (300, 2)).astype(np.float32))
+    ct = jnp.asarray(RNG.randn(300, C).astype(np.float32))
+
+    def f_ref(im, co):
+        return jnp.sum(bilinear_sample_2d(im, co, align_corners=True) * ct)
+
+    def f_pack(im, co):
+        return jnp.sum(bilinear_sample_packed(
+            pack_bilinear_corners(im), co, (H, W), align_corners=True) * ct)
+
+    gi_r, gc_r = jax.grad(f_ref, argnums=(0, 1))(img, coords)
+    gi_p, gc_p = jax.grad(f_pack, argnums=(0, 1))(img, coords)
+    np.testing.assert_allclose(np.asarray(gi_p), np.asarray(gi_r),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gc_p), np.asarray(gc_r),
+                               rtol=1e-4, atol=1e-4)
