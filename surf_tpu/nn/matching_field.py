@@ -24,8 +24,9 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import (
-    trilinear_sample_3d, pack_trilinear_corners, trilinear_sample_packed_3d,
-    resize_bilinear_2d, make_pixel_grid, pixels_to_rays, ray_z_cos,
+    trilinear_sample_3d, trilinear_sample_3d_cm, pack_trilinear_corners,
+    trilinear_sample_packed_3d, resize_bilinear_2d, make_pixel_grid,
+    pixels_to_rays, ray_z_cos,
 )
 
 # corner-pack the (stop-gradient) matching volume for the all-views pass
@@ -77,8 +78,10 @@ def depth_render(key, rays_o, rays_d, near, far, c2w, matching_volume,
         density = trilinear_sample_packed_3d(
             matching_volume, pts, packed_dims, align_corners=False)[..., 0]
     else:
-        density = trilinear_sample_3d(matching_volume, pts,
-                                      align_corners=False)[..., 0]
+        # channel-major d_volume scatter (the autodiff scatter into
+        # (R, R, R, 1) pads the 1-channel minor dim to the 128-lane tile)
+        density = trilinear_sample_3d_cm(matching_volume, pts,
+                                         align_corners=False)[..., 0]
     weights = jax.nn.softmax(density, axis=-1)
 
     cos = ray_z_cos(rays_d, c2w)

@@ -47,7 +47,11 @@ def _w_flat(w):
     return w.reshape(27 * w.shape[3], w.shape[4])
 
 
-_CHUNK_ROWS = 131072  # bounds the (chunk, 27, C) gather temp to ~0.5 GB
+import os as _os
+
+# bounds the (chunk, 27, C) gather temp to ~0.5 GB; tunable because the
+# full-protocol staged backward runs within ~1 GB of the HBM ceiling
+_CHUNK_ROWS = int(_os.environ.get("SURF_CONV_CHUNK", 131072))
 
 
 # ---------------------------------------------------------------------------

@@ -4,6 +4,7 @@ from .grid_sample import (
     bilinear_sample_packed,
     nearest_sample_2d,
     trilinear_sample_3d,
+    trilinear_sample_3d_cm,
     pack_trilinear_corners,
     trilinear_sample_packed_3d,
     nearest_sample_3d,

@@ -306,6 +306,81 @@ def trilinear_sample_3d(volume, coords, *, normalized=True, align_corners=True):
     return out
 
 
+def trilinear_sample_3d_cm(volume, coords, *, normalized=True,
+                           align_corners=True):
+    """``trilinear_sample_3d`` with a hand-written FIRST-ORDER VJP whose
+    d_volume scatter is CHANNEL-MAJOR (C, X*Y*Z): XLA's autodiff scatters
+    into (X, Y, Z, C) whose tiny minor dim pads to the 128-lane tile
+    (128x traffic at C=1 — the matching-volume case).  Not jvp-able: keep
+    the plain version for twice-differentiated paths."""
+    X, Y, Z, C = volume.shape
+    x = coords[..., 0]
+    y = coords[..., 1]
+    z = coords[..., 2]
+    if normalized:
+        x = _unnormalize(x, X, align_corners)
+        y = _unnormalize(y, Y, align_corners)
+        z = _unnormalize(z, Z, align_corners)
+    return _trilinear_core_cm(volume, jnp.stack([x, y, z], axis=-1))
+
+
+@jax.custom_vjp
+def _trilinear_core_cm(volume, xyz):
+    return trilinear_sample_3d(volume, xyz, normalized=False)
+
+
+def _tri_cm_fwd(volume, xyz):
+    return _trilinear_core_cm(volume, xyz), (volume, xyz)
+
+
+def _tri_cm_bwd(res, ct):
+    volume, xyz = res
+    X, Y, Z, C = volume.shape
+    n3 = X * Y * Z
+    flat = volume.reshape(n3, C)
+    x0 = jnp.floor(xyz[..., 0])
+    y0 = jnp.floor(xyz[..., 1])
+    z0 = jnp.floor(xyz[..., 2])
+    fx, fy, fz = xyz[..., 0] - x0, xyz[..., 1] - y0, xyz[..., 2] - z0
+    gx, gy, gz = 1.0 - fx, 1.0 - fy, 1.0 - fz
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    z0i = z0.astype(jnp.int32)
+
+    dflat = jnp.zeros((C, n3 + 1), volume.dtype)
+    dx = jnp.zeros(xyz.shape[:-1], volume.dtype)
+    dy = jnp.zeros_like(dx)
+    dz = jnp.zeros_like(dx)
+    for k in range(8):
+        ox, oy, oz = (k >> 2) & 1, (k >> 1) & 1, k & 1
+        cx, cy, cz = x0i + ox, y0i + oy, z0i + oz
+        valid = (cx >= 0) & (cx < X) & (cy >= 0) & (cy < Y) & \
+                (cz >= 0) & (cz < Z)
+        idx = (jnp.clip(cx, 0, X - 1) * Y + jnp.clip(cy, 0, Y - 1)) * Z + \
+            jnp.clip(cz, 0, Z - 1)
+        wx = fx if ox else gx
+        wy = fy if oy else gy
+        wz = fz if oz else gz
+        w = wx * wy * wz * valid.astype(volume.dtype)
+        col = jnp.where(valid, idx, n3).reshape(-1)
+        upd = (ct * w[..., None]).reshape(-1, C).T          # (C, N)
+        dflat = dflat.at[:, col].add(upd, mode="drop")
+        # d_coords via the product rule (corner indices carry no grad)
+        vals = flat[idx.reshape(-1)].reshape(*idx.shape, C)
+        s = jnp.sum(vals * ct, axis=-1) * valid.astype(volume.dtype)
+        sx = 1.0 if ox else -1.0
+        sy = 1.0 if oy else -1.0
+        sz = 1.0 if oz else -1.0
+        dx = dx + s * sx * wy * wz
+        dy = dy + s * wx * sy * wz
+        dz = dz + s * wx * wy * sz
+    d_volume = dflat[:, :n3].T.reshape(X, Y, Z, C)
+    return d_volume, jnp.stack([dx, dy, dz], axis=-1)
+
+
+_trilinear_core_cm.defvjp(_tri_cm_fwd, _tri_cm_bwd)
+
+
 def pack_trilinear_corners(volume):
     """(X, Y, Z, C) -> (X+1, Y+1, Z+1, 8C) corner-packed volume: row
     (i, j, k) holds the 2x2x2 window of the sample whose floor cell is

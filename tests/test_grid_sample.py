@@ -208,3 +208,25 @@ def test_bilinear_packed_vjp_matches_unpacked():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(gc_p), np.asarray(gc_r),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_trilinear_cm_vjp_matches_autodiff():
+    from surf_tpu.ops import trilinear_sample_3d_cm
+    X, Y, Z, C = 7, 9, 8, 2
+    vol = jnp.asarray(RNG.randn(X, Y, Z, C).astype(np.float32))
+    coords = jnp.asarray(RNG.uniform(-1.5, 1.5, (400, 3)).astype(np.float32))
+    ct = jnp.asarray(RNG.randn(400, C).astype(np.float32))
+
+    def f_ref(v, co):
+        return jnp.sum(trilinear_sample_3d(v, co, align_corners=False) * ct)
+
+    def f_cm(v, co):
+        return jnp.sum(trilinear_sample_3d_cm(v, co, align_corners=False) * ct)
+
+    assert np.allclose(f_cm(vol, coords), f_ref(vol, coords), atol=1e-5)
+    gv_r, gc_r = jax.grad(f_ref, argnums=(0, 1))(vol, coords)
+    gv_c, gc_c = jax.grad(f_cm, argnums=(0, 1))(vol, coords)
+    np.testing.assert_allclose(np.asarray(gv_c), np.asarray(gv_r),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gc_c), np.asarray(gc_r),
+                               rtol=1e-4, atol=1e-4)

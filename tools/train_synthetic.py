@@ -52,6 +52,10 @@ def main():
     parser.add_argument("--staged", action="store_true",
                         help="use the staged per-stage-VJP train step "
                              "(the full-protocol path)")
+    parser.add_argument("--schedule", action="store_true",
+                        help="warmup-cosine LR (the reference protocol's "
+                             "schedule) instead of flat Adam")
+    parser.add_argument("--lr", type=float, default=5e-4)
     parser.add_argument("--eval_every", type=int, default=0,
                         help="extract a mesh + report Chamfer vs the "
                              "analytic sphere every N steps")
@@ -95,7 +99,13 @@ def main():
     params, state, static = surf.init(jax.random.PRNGKey(0), conf["model"])
     loss_cfg = make_loss_config(conf["train.loss"])
 
-    optimizer = optax.adam(5e-4)
+    if args.schedule:
+        from surf_tpu.utils.scheduler import warmup_cosine
+        scale = warmup_cosine(args.steps, warmup=max(args.steps * 0.1, 1.0))
+        optimizer = optax.adam(
+            learning_rate=lambda step: args.lr * scale(step))
+    else:
+        optimizer = optax.adam(args.lr)
     opt_state = optimizer.init(params)
 
     if args.staged:
