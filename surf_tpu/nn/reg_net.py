@@ -49,9 +49,11 @@ def _w_flat(w):
 
 import os as _os
 
-# bounds the (chunk, 27, C) gather temp to ~0.5 GB; tunable because the
-# full-protocol staged backward runs within ~1 GB of the HBM ceiling
-_CHUNK_ROWS = int(_os.environ.get("SURF_CONV_CHUNK", 131072))
+# bounds the (chunk, 27, C) gather temp; tunable because the full-protocol
+# staged backward runs within ~1 GB of the HBM ceiling (131072 OOMs the
+# stage-3 backward by ~270 MB on a 16 GB v5e; 65536 fits with the same
+# steady-state step time)
+_CHUNK_ROWS = int(_os.environ.get("SURF_CONV_CHUNK", 65536))
 
 
 # ---------------------------------------------------------------------------
