@@ -163,6 +163,8 @@ def main():
         # render-path lookup acceleration: direct-indexed bf16 volumes
         stages = [(g, sp.densify_storage(g, s)) for g, s in stages]
         occ_vol = jax.jit(sp.combined_occupancy)([g for g, _ in stages])
+        if os.environ.get("PROF_PACK_STAGES", "1") != "0":
+            stages = sp.pack_stages(stages)
         jax.block_until_ready(stages[-1][1].flat)
     stages_ff = stages[::-1]
     feats_ff = [f for f in features][::-1]

@@ -23,21 +23,30 @@ import optax
 
 
 def chamfer_vs_sphere(verts_norm, scale_mat, radius_world, n_gt=20000,
-                      seed=0):
+                      seed=0, max_dist_ratio=0.2):
     """Symmetric Chamfer (mm-free synthetic units) between mesh vertices and
     the ANALYTIC ground-truth sphere of the synthetic scene: verts are
     mapped back to world via scale_mat (as Runner.validate does), d2s is
     the exact |dist_to_sphere|, s2d uses a KD-tree to the vertex cloud —
-    the closest available proxy for the DTU protocol (VERDICT r2 #4)."""
+    the closest available proxy for the DTU protocol (VERDICT r2 #4).
+
+    Distances >= max_dist are EXCLUDED from the means, mirroring the
+    official protocol's ``d2s[d2s < max_dist].mean()`` truncation
+    (reference evaluation/dtu_eval.py:135-147; 20 mm on DTU ~= 20% of the
+    object radius -> max_dist = max_dist_ratio * radius_world here)."""
     from scipy.spatial import cKDTree
+    max_dist = max_dist_ratio * radius_world
     vw = verts_norm @ scale_mat[:3, :3].T + scale_mat[:3, 3]
     d2s = np.abs(np.linalg.norm(vw, axis=1) - radius_world)
     rng = np.random.default_rng(seed)
     gt = rng.normal(size=(n_gt, 3))
     gt = gt / np.linalg.norm(gt, axis=1, keepdims=True) * radius_world
     s2d = cKDTree(vw).query(gt, k=1)[0]
-    return float(d2s.mean()), float(s2d.mean()), \
-        float((d2s.mean() + s2d.mean()) / 2)
+    md2s = float(d2s[d2s < max_dist].mean()) if (d2s < max_dist).any() \
+        else float(max_dist)
+    ms2d = float(s2d[s2d < max_dist].mean()) if (s2d < max_dist).any() \
+        else float(max_dist)
+    return md2s, ms2d, (md2s + ms2d) / 2
 
 
 def main():
@@ -191,13 +200,24 @@ def main():
             print(f"[eval @{step_tag}] mesh EMPTY (no zero crossing yet)")
             return None
         verts = verts / (res_ - 1) * 2 - 1
+        # the reference protocol ALWAYS cleans before Chamfer (runtime
+        # --clean_mesh / evaluation/clean_mesh.py): mask-project + frustum
+        # ray-cast filtering drops unobserved floaters the eval must not see
+        from surf_tpu.geometry.clean_mesh import clean_mesh
+        scene = ds._build(0)  # train items carry only per-ray masks
+        m = clean_mesh(Mesh(verts, tris), scene["masks"],
+                       scene["intrs"], scene["c2ws"])
+        verts_c, tris_c = np.asarray(m.vertices, np.float32), m.faces
         d2s, s2d, ch = chamfer_vs_sphere(
-            verts, np.asarray(batch_np["scale_mat"]),
+            verts_c, np.asarray(batch_np["scale_mat"]),
             ds.radius_world)
-        print(f"[eval @{step_tag}] mesh {len(verts)} verts; chamfer vs "
-              f"analytic sphere: d2s={d2s:.4f} s2d={s2d:.4f} "
+        np.save(f"/tmp/synth_eval_verts_{step_tag}.npy", verts_c)
+        print(f"[eval @{step_tag}] mesh {len(verts)} verts "
+              f"({len(verts_c)} after cleaning); chamfer vs "
+              f"analytic sphere (truncated, official semantics): "
+              f"d2s={d2s:.4f} s2d={s2d:.4f} "
               f"overall={ch:.4f} (world units)", flush=True)
-        return verts, tris, ch
+        return verts_c, tris_c, ch
 
     key = jax.random.PRNGKey(1)
     t0 = time.time()
