@@ -148,6 +148,8 @@ def main():
         from surf_tpu.ops import sparse as sp_ops
         stages = [(g, sp_ops.densify_storage(g, s)) for g, s in stages]
         occ = jax.jit(sp_ops.combined_occupancy)([g for g, _ in stages])
+        # corner-pack the coarse stages: 1 gather/sample instead of 8
+        stages = sp_ops.pack_stages(stages)
         jax.block_until_ready(stages[-1][1].flat)
     stages_ff = stages[::-1]
     feats_ff = [f for f in features][::-1]

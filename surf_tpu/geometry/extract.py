@@ -6,13 +6,17 @@ cubes on -sdf.  Here, blocks of the lattice that no stage's active voxel
 set touches are skipped exactly (the occupancy mask pins their SDF to +100
 anyway — see ops/sparse.occupied_blocks_host), which typically avoids
 70-90% of the MLP work after end-to-end sparsification.  Occupied blocks
-are evaluated several per device call: per-call dispatch latency (large
-over a remote-tunnel TPU) otherwise dominates the hundreds of 64^3 calls.
+are evaluated several per device call, the lattice points are generated
+ON DEVICE from 3-int block origins (a (G*B^3, 3) host-built lattice is a
+25 MB H2D transfer per call over a remote-tunnel TPU), and every call is
+dispatched asynchronously with a single host-side conversion pass at the
+end — compute, D2H and host scatter overlap across calls.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .marching_cubes import marching_cubes
@@ -26,10 +30,10 @@ def extract_geometry(sdf_fn, params, stages, resolution, block=64, occ=None,
     single-gather visibility).  Returns (verts [-1,1]-frame, tris, u)."""
     R = int(resolution)
     B = int(block)
+    G = int(blocks_per_call)
     nb = -(-R // B)
     blocks = occupied_blocks_host(stages, R, B)
 
-    lin = np.linspace(-1, 1, R, dtype=np.float32)
     u = np.full((R, R, R), 100.0, np.float32)
 
     occupied = [(bx, by, bz)
@@ -42,27 +46,42 @@ def extract_geometry(sdf_fn, params, stages, resolution, block=64, occ=None,
                 slice(by * B, min((by + 1) * B, R)),
                 slice(bz * B, min((bz + 1) * B, R)))
 
-    call_pts = blocks_per_call * B ** 3  # static call shape
-    for s in range(0, len(occupied), blocks_per_call):
-        group = occupied[s:s + blocks_per_call]
-        pts_list, shapes = [], []
-        for b in group:
+    @jax.jit
+    def eval_group(params, stages, occ, origins):
+        """origins (G, 3) int32 lattice block starts -> (G*B^3,) SDF.
+        Lattice indices past R-1 clamp (their rows land in the padding the
+        host scatter discards — partial edge blocks copy only their true
+        extent)."""
+        ar = jnp.arange(B, dtype=jnp.int32)
+        idx = jnp.minimum(origins[:, :, None] + ar[None, None, :], R - 1)
+        scale = 2.0 / (R - 1.0)
+        px = -1.0 + scale * idx[:, 0].astype(jnp.float32)  # (G, B)
+        py = -1.0 + scale * idx[:, 1].astype(jnp.float32)
+        pz = -1.0 + scale * idx[:, 2].astype(jnp.float32)
+        shp = (G, B, B, B)
+        pts = jnp.stack([
+            jnp.broadcast_to(px[:, :, None, None], shp),
+            jnp.broadcast_to(py[:, None, :, None], shp),
+            jnp.broadcast_to(pz[:, None, None, :], shp),
+        ], axis=-1).reshape(-1, 3)
+        return sdf_fn(params, stages, occ, pts)
+
+    # dispatch every group asynchronously; convert (sync) afterwards
+    pending = []
+    for s in range(0, len(occupied), G):
+        group = occupied[s:s + G]
+        origins = np.zeros((G, 3), np.int32)
+        origins[:len(group)] = np.asarray(group, np.int32) * B
+        pending.append((group, eval_group(params, stages, occ,
+                                          jnp.asarray(origins))))
+
+    for group, vals_dev in pending:
+        vals = np.asarray(vals_dev).reshape(G, B, B, B)
+        for i, b in enumerate(group):
             sx, sy, sz = block_slices(b)
-            xs, ys, zs = np.meshgrid(lin[sx], lin[sy], lin[sz], indexing="ij")
-            shapes.append(xs.shape)
-            pts_list.append(np.stack(
-                [xs.reshape(-1), ys.reshape(-1), zs.reshape(-1)], -1))
-        pts = np.concatenate(pts_list)
-        pad = call_pts - len(pts)
-        if pad > 0:
-            pts = np.concatenate([pts, np.zeros((pad, 3), np.float32)])
-        vals = np.asarray(sdf_fn(params, stages, occ, jnp.asarray(pts)))
-        off = 0
-        for b, shp in zip(group, shapes):
-            n = shp[0] * shp[1] * shp[2]
-            sx, sy, sz = block_slices(b)
-            u[sx, sy, sz] = vals[off:off + n].reshape(shp)
-            off += n
+            ex, ey, ez = (sx.stop - sx.start, sy.stop - sy.start,
+                          sz.stop - sz.start)
+            u[sx, sy, sz] = vals[i, :ex, :ey, :ez]
 
     verts, tris = marching_cubes(-u, 0.0)
     verts = verts / (R - 1.0) * 2.0 - 1.0

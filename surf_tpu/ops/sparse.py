@@ -190,6 +190,103 @@ def _densify_jit(grid, storage, dtype):
     return flat.at[:, col].set(storage.astype(dtype).T, mode="drop")
 
 
+@jax.tree_util.register_pytree_node_class
+class PackedStorage:
+    """Corner-packed ``DenseStorage`` for the render/mesh hot path: flat
+    (8C, (res+1)^3) channel-major, where row (i+1, j+1, k+1) holds the
+    whole 2x2x2 window of the trilinear sample whose floor cell is
+    (i, j, k), EDGE-padded so clamped-border semantics survive packing.
+    ONE column gather fetches a sample's full footprint — 8x fewer gather
+    descriptors than ``dense_trilinear`` (gather cost on TPU is per ROW,
+    not per byte — docs/PERF_NOTES.md), at 8x the memory: only coarse
+    stages are packed (see ``pack_stages``).  Value/∂pts path only (no
+    custom transpose w.r.t. the volume): validation, bench and mesh
+    extraction — training keeps the sparse rows."""
+
+    def __init__(self, flat, res):
+        self.flat = flat          # (8C, (res+1)**3)
+        self.res = int(res)       # ORIGINAL resolution
+
+    def tree_flatten(self):
+        return (self.flat,), self.res
+
+    @classmethod
+    def tree_unflatten(cls, res, children):
+        obj = cls.__new__(cls)
+        obj.flat = children[0]
+        obj.res = res
+        return obj
+
+    @property
+    def C(self):
+        return self.flat.shape[0] // 8
+
+
+def pack_storage(storage: "DenseStorage") -> "PackedStorage":
+    """DenseStorage (C, res^3) -> PackedStorage (8C, (res+1)^3)."""
+    return PackedStorage(_pack_jit(storage.flat, storage.res), storage.res)
+
+
+@_partial(jax.jit, static_argnums=(1,))
+def _pack_jit(flat, res):
+    C = flat.shape[0]
+    vol = flat.reshape(C, res, res, res)
+    p = jnp.pad(vol, ((0, 0), (1, 1), (1, 1), (1, 1)), mode="edge")
+    r1 = res + 1
+    # corner order k = ox*4 + oy*2 + oz, matching dense_trilinear's loop
+    packed = jnp.concatenate(
+        [p[:, ox:r1 + ox, oy:r1 + oy, oz:r1 + oz]
+         for ox in (0, 1) for oy in (0, 1) for oz in (0, 1)], axis=0)
+    return packed.reshape(8 * C, r1 ** 3)
+
+
+def pack_stages(stages, max_bytes=750 * 2 ** 20):
+    """Corner-pack every DenseStorage stage whose packed copy fits in
+    ``max_bytes`` (the coarse stages; 176^3 x 7ch bf16 packs to 621 MB,
+    352^3 would be 4.9 GB).  stages: [(grid, storage), ...]."""
+    out = []
+    for g, s in stages:
+        if isinstance(s, DenseStorage):
+            packed_bytes = 8 * s.C * (s.res + 1) ** 3 * s.flat.dtype.itemsize
+            if packed_bytes <= max_bytes:
+                s = pack_storage(s)
+        out.append((g, s))
+    return out
+
+
+def packed_trilinear(ps: "PackedStorage", pts):
+    """Trilinear lookup from a PackedStorage; numerically equal to
+    ``dense_trilinear`` of the unpacked volume (clamped borders), one
+    column gather per sample.  Differentiable w.r.t. ``pts`` (any order:
+    the gathered rows are constants w.r.t. pts, only the lerp weights
+    carry derivatives)."""
+    res = ps.res
+    r1 = res + 1
+    flat = ps.flat
+    C = flat.shape[0] // 8
+    shape = pts.shape[:-1]
+    p = pts.reshape(-1, 3)
+    coords = (p + 1.0) * 0.5 * (res - 1)
+    c0 = jnp.floor(coords)
+    frac = coords - c0
+    c0i = c0.astype(jnp.int32)
+    fx, fy, fz = frac[:, 0], frac[:, 1], frac[:, 2]
+    gx, gy, gz = 1.0 - fx, 1.0 - fy, 1.0 - fz
+    # cell clamp to [-1, res-1] reproduces per-corner clamping exactly:
+    # beyond that range every corner reads the same border voxel anyway
+    ci = jnp.clip(c0i, -1, res - 1) + 1
+    rows = (ci[:, 0] * r1 + ci[:, 1]) * r1 + ci[:, 2]
+    g = _gather_columns(flat, rows)  # (n, 8C)
+    out = None
+    for k in range(8):
+        ox, oy, oz = (k >> 2) & 1, (k >> 1) & 1, k & 1
+        vals = jax.lax.slice_in_dim(g, k * C, (k + 1) * C, axis=1)
+        w = (fx if ox else gx) * (fy if oy else gy) * (fz if oz else gz)
+        term = vals * w[:, None]
+        out = term if out is None else out + term
+    return out.reshape(*shape, C)
+
+
 def _gather_columns(flat, idx):
     """flat (C, M); idx (n,) -> (n, C) — the gathered axis minor, the
     channel window major: XLA's native TPU gather form."""
@@ -252,6 +349,13 @@ def sparse_trilinear(grid: VoxelGrid, storage, pts):
 
     pts: (..., 3) -> (..., C)
     """
+    if isinstance(storage, PackedStorage):
+        return packed_trilinear(storage, pts)
+    if isinstance(storage, DenseStorage):
+        # inactive voxels hold zero columns — same semantics as the
+        # valid-gated sparse gather, in one independent gather per corner
+        return dense_trilinear(storage, pts)
+
     res = grid.res
     coords = (pts + 1.0) * 0.5 * (res - 1)  # voxel-space
     c0 = jnp.floor(coords)
@@ -259,11 +363,6 @@ def sparse_trilinear(grid: VoxelGrid, storage, pts):
     c0i = c0.astype(jnp.int32)
     fx, fy, fz = frac[..., 0], frac[..., 1], frac[..., 2]
     gx, gy, gz = 1.0 - fx, 1.0 - fy, 1.0 - fz
-
-    if isinstance(storage, DenseStorage):
-        # inactive voxels hold zero columns — same semantics as the
-        # valid-gated sparse gather, in one independent gather per corner
-        return dense_trilinear(storage, pts)
 
     out = None
     for k in range(8):

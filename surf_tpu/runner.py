@@ -533,12 +533,16 @@ class Runner:
                 # for throughput — for checkpoint-parity validation set
                 # train.dense_render_dtype = float32 (or disable
                 # dense_render_storage entirely) to keep the f32 path exact.
-                from .ops.sparse import densify_storage, combined_occupancy
+                from .ops.sparse import (densify_storage, combined_occupancy,
+                                         pack_stages)
                 ddt = self.conf.get_string("train.dense_render_dtype",
                                            default="bfloat16")
                 stages = [(g, densify_storage(g, s, dtype=ddt))
                           for g, s in stages]
                 occ = jax.jit(combined_occupancy)([g for g, _ in stages])
+                # corner-pack the coarse stages: one gather per trilinear
+                # sample instead of 8 (value/∂pts exact, incl. borders)
+                stages = pack_stages(stages)
 
             stages_ff = stages[::-1]
             feats_ff = [f for f in features][::-1]

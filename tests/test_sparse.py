@@ -215,3 +215,45 @@ def test_dense_trilinear_oor_and_grads():
     # differentiable w.r.t. pts (the render takes grads through lookups)
     g = jax.grad(lambda p: sp.dense_trilinear(dense, p).sum())(pts)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_packed_trilinear_matches_dense():
+    """Corner-packed lookup == dense lookup everywhere, including clamped
+    borders and fully out-of-range points; ∂pts (1st and 2nd order via
+    jvp-over-grad, the render's eikonal form) must also agree."""
+    grid, storage = random_grid(res=16, p_keep=0.5)
+    dense = sp.densify_storage(grid, storage, dtype=None)
+    packed = sp.pack_storage(dense)
+    assert packed.flat.shape == (8 * dense.C, (dense.res + 1) ** 3)
+    pts = jnp.asarray(RNG.uniform(-1.6, 1.6, (800, 3)).astype(np.float32))
+    ref = np.asarray(sp.dense_trilinear(dense, pts))
+    out = np.asarray(sp.packed_trilinear(packed, pts))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+    # dispatch through sparse_trilinear
+    out2 = np.asarray(sp.sparse_trilinear(grid, packed, pts))
+    np.testing.assert_allclose(out2, ref, rtol=1e-5, atol=1e-5)
+
+    def s_dense(p):
+        return sp.dense_trilinear(dense, p).sum()
+
+    def s_packed(p):
+        return sp.packed_trilinear(packed, p).sum()
+
+    g_ref, h_ref = jax.jvp(jax.grad(s_dense), (pts,), (jnp.ones_like(pts),))
+    g_out, h_out = jax.jvp(jax.grad(s_packed), (pts,), (jnp.ones_like(pts),))
+    np.testing.assert_allclose(np.asarray(g_out), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h_out), np.asarray(h_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pack_stages_gating():
+    """pack_stages packs only stages whose packed copy fits the budget."""
+    g1, s1 = random_grid(res=8, p_keep=0.6)
+    g2, s2 = random_grid(res=16, p_keep=0.4)
+    d1 = sp.densify_storage(g1, s1, dtype=None)
+    d2 = sp.densify_storage(g2, s2, dtype=None)
+    budget = 8 * d1.C * (d1.res + 1) ** 3 * 4  # exactly stage 1's bytes
+    out = sp.pack_stages([(g1, d1), (g2, d2)], max_bytes=budget)
+    assert isinstance(out[0][1], sp.PackedStorage)
+    assert isinstance(out[1][1], sp.DenseStorage)
