@@ -59,25 +59,44 @@ def sample_mesh_points(vertices, triangles, thresh):
     return np.concatenate(out, axis=0)
 
 
-def radius_downsample(pts, radius, seed=0, chunk=2_000_000):
+def radius_downsample(pts, radius, seed=0, chunk=None):
     """Greedy radius downsample (reference dtu_eval.py:98-107).
 
     Same greedy-in-shuffled-order semantics as the reference's sklearn
-    ``radius_neighbors`` + mask loop: neighbor lists are computed in ONE
-    vectorized (multi-threaded) KD query per chunk, and only the trivial
-    mask updates run in Python — a DTU-scale cloud (~10^7 points at 0.2
-    density) downsamples in minutes, not hours."""
+    ``radius_neighbors`` + mask loop, computed from the pairwise proximity
+    graph: ``query_pairs`` returns every (i < j) pair within ``radius`` as
+    one C-level ndarray (no per-point Python neighbor lists), and the greedy
+    mask loop runs only over points that actually have later neighbors.
+
+    Equivalence to the per-point loop: when the reference processes an
+    alive point i it kills ALL its ball neighbors, but any EARLIER neighbor
+    j < i is necessarily dead already (had j been alive when processed, it
+    would have killed i), so only the (i, j > i) kills have any effect —
+    exactly the pairs iterated here.  ``chunk`` is accepted for backward
+    compatibility and ignored (the pair graph is global).
+
+    A DTU-scale cloud (~10^7 points at 0.2 density) downsamples in ~1-2
+    minutes; the 2M-point regression test runs in ~25 s.
+    """
+    del chunk
     rng = np.random.default_rng(seed)
     perm = rng.permutation(len(pts))
     pts = pts[perm]
-    tree = cKDTree(pts)
+    # sliding-midpoint build: ~3x faster than the balanced median build at
+    # DTU scale, query_pairs cost is unchanged
+    tree = cKDTree(pts, balanced_tree=False, compact_nodes=False)
+    pairs = tree.query_pairs(radius, output_type="ndarray")
     alive = np.ones(len(pts), bool)
-    for lo in range(0, len(pts), chunk):
-        neigh = tree.query_ball_point(pts[lo:lo + chunk], radius, workers=-1)
-        for i, idxs in enumerate(neigh, start=lo):
-            if alive[i]:
-                alive[idxs] = False
-                alive[i] = True
+    if len(pairs):
+        order = np.argsort(pairs[:, 0], kind="stable")
+        ii = pairs[order, 0]
+        jj = pairs[order, 1]
+        starts = np.flatnonzero(np.diff(ii)) + 1
+        starts = np.concatenate([[0], starts, [len(ii)]])
+        for k in range(len(starts) - 1):
+            s = starts[k]
+            if alive[ii[s]]:
+                alive[jj[s:starts[k + 1]]] = False
     return pts[alive]
 
 
@@ -101,13 +120,15 @@ def eval_scan(scan, out_dir, dataset_dir, thresh=0.2, max_dist=20.0, patch=60.0)
 
     stl = read_ply(f"{dataset_dir}/Points/stl/stl{scan:03}_total.ply")["vertices"]
 
-    d2s = cKDTree(stl).query(data_in_obs, k=1)[0]
+    d2s = cKDTree(stl, balanced_tree=False,
+                  compact_nodes=False).query(data_in_obs, k=1, workers=-1)[0]
     mean_d2s = d2s[d2s < max_dist].mean()
 
     plane = loadmat(f"{dataset_dir}/ObsMask/Plane{scan}.mat")["P"]
     above = (np.concatenate([stl, np.ones_like(stl[:, :1])], -1)
              @ plane.reshape(4)) > 0
-    s2d = cKDTree(data_in).query(stl[above], k=1)[0]
+    s2d = cKDTree(data_in, balanced_tree=False,
+                  compact_nodes=False).query(stl[above], k=1, workers=-1)[0]
     mean_s2d = s2d[s2d < max_dist].mean()
 
     return float(mean_d2s), float(mean_s2d), float((mean_d2s + mean_s2d) / 2)

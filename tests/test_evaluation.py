@@ -67,9 +67,16 @@ def test_radius_downsample_min_spacing():
     # and it still covers the volume
     cover = cKDTree(down).query(pts)[0]
     assert cover.max() < 0.4 + 1e-9
-    # chunked == unchunked (the greedy order is identical)
-    down_c = dtu_eval.radius_downsample(pts, 0.4, chunk=257)
-    np.testing.assert_array_equal(down, down_c)
+    # the pair-graph greedy == the reference's per-point greedy ball loop
+    perm = np.random.default_rng(0).permutation(len(pts))
+    p = pts[perm]
+    tree = cKDTree(p)
+    alive = np.ones(len(p), bool)
+    for i in range(len(p)):
+        if alive[i]:
+            alive[tree.query_ball_point(p[i], 0.4)] = False
+            alive[i] = True
+    np.testing.assert_array_equal(down, p[alive])
 
 
 @pytest.mark.slow
