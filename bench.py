@@ -139,6 +139,36 @@ def main():
     jax.block_until_ready(matching_volume)
     build_steady = time.time() - t0
 
+    # corner-pack the density volume for the 256-sample z_vals pre-render
+    # BEFORE densify (peak temp memory is lowest with only the sparse
+    # storages resident): full 8-corner pack = 1 gather/sample (8x memory,
+    # 5.6 GB bf16 at 704^3), yz 4-corner fallback = 2 gathers (4x memory).
+    # The pre-render was ~100 ms of the protocol render (PERF_NOTES).
+    pack_mode = os.environ.get("BENCH_PACK_MATCH", "auto")
+    if pack_mode not in ("0", "none"):
+        from surf_tpu.ops import PackedVolume
+        if pack_mode == "auto":
+            # packing OOMs DOWNSTREAM (the dense storages + render temps
+            # come after), so a pack-time try/except can't gate it: budget
+            # by table size.  Measured on v5e-16GB at the full protocol:
+            # full (5.6 GB) OOMs fuse_pyramid; gate to <= 1.5 GB tables.
+            vol_bytes = matching_volume.size * matching_volume.dtype.itemsize
+            budget = float(os.environ.get("BENCH_PACK_BUDGET_GB", 1.5)) * 2**30
+            modes = [m for m, mult in (("full", 8), ("yz", 4))
+                     if vol_bytes * mult <= budget]
+        else:
+            modes = [pack_mode]
+        for mode in modes:
+            try:
+                mv = PackedVolume.pack(matching_volume, mode)
+                jax.block_until_ready(mv.packed)
+                matching_volume = mv
+                print(f"# pack_match: {mode}", file=sys.stderr)
+                break
+            except Exception as e:  # noqa: BLE001 — OOM at this volume size
+                print(f"# pack_match[{mode}] failed ({type(e).__name__}), "
+                      "falling back", file=sys.stderr)
+
     occ = None
     if os.environ.get("BENCH_DENSE_STORAGE", "1") != "0":
         # render-path lookup acceleration: the two-level sparse lookup costs

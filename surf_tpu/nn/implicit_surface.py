@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from . import sdf_net, blending_net, variance
-from ..ops import trilinear_sample_3d, resize_bilinear_2d
+from ..ops import (trilinear_sample_3d, PackedVolume, resize_bilinear_2d)
 from ..ops import sparse as sp
 from ..ops.feature_lookup import lookup_feature, lookup_feature_fused, fuse_pyramid
 from ..ops.homography import surface_patch_warp
@@ -95,7 +95,13 @@ def _band(center, half_range, near, far):
 
 def build_z_vals(key, static, rays_o, rays_d, near, far, matching_volume):
     """Surface-centric sample placement (implicit_surface.py:268-311).
-    near/far: (nr, 1).  Returns z_vals (nr, sum(n_samples)) sorted."""
+    near/far: (nr, 1).  Returns z_vals (nr, sum(n_samples)) sorted.
+
+    ``matching_volume`` is either the (X, Y, Z, 1) density volume or an
+    ``ops.PackedVolume`` (corner-packed): the 256-sample density pre-render
+    is value-only (everything here is stop-gradient), so the corner-packed
+    table cuts its gather count 8x (full) / 4x (yz) — the pre-render was
+    ~100 ms of the protocol-scale render (PERF_NOTES)."""
     n0 = static["n_samples"][0]
     nr = rays_o.shape[0]
     k_uni, k_surf, k_stage = jax.random.split(key, 3)
@@ -112,7 +118,11 @@ def build_z_vals(key, static, rays_o, rays_d, near, far, matching_volume):
     lin_d = jnp.linspace(0.0, 1.0, static["n_depth"])
     z_d = near + (far - near) * lin_d[None]
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z_d[..., None]
-    density = trilinear_sample_3d(matching_volume, pts, align_corners=False)[..., 0]
+    if isinstance(matching_volume, PackedVolume):
+        density = matching_volume.sample(pts, align_corners=False)[..., 0]
+    else:
+        density = trilinear_sample_3d(
+            matching_volume, pts, align_corners=False)[..., 0]
     w = jax.nn.softmax(density, axis=-1)
     surf_z = jax.lax.stop_gradient(jnp.sum(z_d * w, axis=-1, keepdims=True))
 

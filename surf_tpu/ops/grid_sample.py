@@ -390,9 +390,204 @@ def pack_trilinear_corners(volume):
     descriptors for value-only passes (8x the memory: gate by size)."""
     X, Y, Z, C = volume.shape
     p = jnp.pad(volume, ((1, 1), (1, 1), (1, 1), (0, 0)))
-    return jnp.concatenate(
-        [p[ox:X + 1 + ox, oy:Y + 1 + oy, oz:Z + 1 + oz]
-         for ox, oy, oz in np.asarray(_CORNER_OFFSETS)], axis=-1)
+    # sequential channel-slab writes into ONE output buffer: the concat
+    # form materializes all 8 shifted copies at once (~2x the output size
+    # in temporaries — OOM at 704^3 where the output alone is 5.6 GB bf16)
+    out = jnp.zeros((X + 1, Y + 1, Z + 1, 8 * C), volume.dtype)
+    for k, (ox, oy, oz) in enumerate(np.asarray(_CORNER_OFFSETS)):
+        out = out.at[..., k * C:(k + 1) * C].set(
+            p[ox:X + 1 + ox, oy:Y + 1 + oy, oz:Z + 1 + oz])
+    return out
+
+
+def _gather_cols(flat, idx):
+    """flat (C, M); idx (n,) -> (n, C) — gathered axis minor, channel
+    window major: XLA's native TPU gather form (no layout-change copy of
+    the operand; see docs/PERF_NOTES.md and ops/sparse._gather_columns)."""
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(1,), start_index_map=(1,))
+    return jax.lax.gather(
+        flat, idx[:, None].astype(jnp.int32), dn,
+        slice_sizes=(flat.shape[0], 1),
+        mode=jax.lax.GatherScatterMode.CLIP)
+
+
+@jax.tree_util.register_pytree_node_class
+class PackedVolume:
+    """Corner-packed dense volume for value-only trilinear sampling, stored
+    CHANNEL-MAJOR (K*C, rows): a row-major (..., 8C) pack of a 704^3 volume
+    gets copied to a channel-planar layout by the TPU gather lowering (a
+    5.7 GB HLO-temp copy — OOM); the (C', N) form is the layout fixed point
+    (docs/PERF_NOTES.md).  ``kind="full"`` packs all 8 corners (8x memory,
+    1 gather/sample), ``kind="yz"`` packs the 2x2 (y, z) window (4x memory,
+    2 gathers).  Zeros-outside borders — numerically equal to
+    ``trilinear_sample_3d`` (align_corners semantics via ``.sample``).
+    dims/kind ride the pytree aux data so jit boundaries keep them static."""
+
+    def __init__(self, packed, dims, kind):
+        self.packed = packed      # (8C, rows) or (4C, rows)
+        self.dims = tuple(int(d) for d in dims)
+        self.kind = kind          # "full" | "yz"
+
+    @classmethod
+    def pack(cls, volume, kind="full"):
+        fn = _pack_full_cm if kind == "full" else _pack_yz_cm
+        return cls(jax.jit(fn)(volume), volume.shape[:3], kind)
+
+    def sample(self, coords, *, normalized=True, align_corners=True):
+        X, Y, Z = self.dims
+        C = self.packed.shape[0] // (8 if self.kind == "full" else 4)
+        shape = coords.shape[:-1]
+        co = coords.reshape(-1, 3)
+        x = co[:, 0]
+        y = co[:, 1]
+        z = co[:, 2]
+        if normalized:
+            x = _unnormalize(x, X, align_corners)
+            y = _unnormalize(y, Y, align_corners)
+            z = _unnormalize(z, Z, align_corners)
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        z0 = jnp.floor(z)
+        fx = x - x0
+        fy = y - y0
+        fz = z - z0
+        gx, gy, gz = 1.0 - fx, 1.0 - fy, 1.0 - fz
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+        z0i = z0.astype(jnp.int32)
+        inb_yz = (y0i >= -1) & (y0i <= Y - 1) & (z0i >= -1) & (z0i <= Z - 1)
+        yi = jnp.clip(y0i, -1, Y - 1) + 1
+        zi = jnp.clip(z0i, -1, Z - 1) + 1
+        out = None
+        if self.kind == "full":
+            inb = inb_yz & (x0i >= -1) & (x0i <= X - 1)
+            xi = jnp.clip(x0i, -1, X - 1) + 1
+            idx = (xi * (Y + 1) + yi) * (Z + 1) + zi
+            g = _gather_cols(self.packed, idx)      # (n, 8C)
+            g = g * inb[:, None].astype(g.dtype)
+            for k in range(8):
+                ox, oy, oz = (k >> 2) & 1, (k >> 1) & 1, k & 1
+                w = (fx if ox else gx) * (fy if oy else gy) * \
+                    (fz if oz else gz)
+                term = jax.lax.slice_in_dim(g, k * C, (k + 1) * C,
+                                            axis=1) * w[:, None]
+                out = term if out is None else out + term
+        else:
+            for ox in (0, 1):
+                cx = x0i + ox
+                vx = inb_yz & (cx >= 0) & (cx < X)
+                idx = (jnp.clip(cx, 0, X - 1) * (Y + 1) + yi) * (Z + 1) + zi
+                g = _gather_cols(self.packed, idx)  # (n, 4C)
+                g = g * vx[:, None].astype(g.dtype)
+                wx = fx if ox else gx
+                for k in range(4):
+                    oy, oz = (k >> 1) & 1, k & 1
+                    w = wx * (fy if oy else gy) * (fz if oz else gz)
+                    term = jax.lax.slice_in_dim(g, k * C, (k + 1) * C,
+                                                axis=1) * w[:, None]
+                    out = term if out is None else out + term
+        return out.reshape(*shape, C)
+
+    def tree_flatten(self):
+        return (self.packed,), (self.dims, self.kind)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        obj.packed = children[0]
+        obj.dims, obj.kind = aux
+        return obj
+
+
+def _pack_full_cm(volume):
+    """(X, Y, Z, C) -> (8C, (X+1)(Y+1)(Z+1)) channel-major zero-padded
+    corner pack, written as sequential channel-slab updates into one
+    buffer (the concat form peaks at ~2x the output size)."""
+    X, Y, Z, C = volume.shape
+    p = jnp.pad(volume, ((1, 1), (1, 1), (1, 1), (0, 0)))
+    rows = (X + 1) * (Y + 1) * (Z + 1)
+    out = jnp.zeros((8 * C, rows), volume.dtype)
+    for k, (ox, oy, oz) in enumerate(np.asarray(_CORNER_OFFSETS)):
+        slab = p[ox:X + 1 + ox, oy:Y + 1 + oy, oz:Z + 1 + oz]
+        out = out.at[k * C:(k + 1) * C].set(
+            jnp.moveaxis(slab, -1, 0).reshape(C, rows))
+    return out
+
+
+def _pack_yz_cm(volume):
+    """(X, Y, Z, C) -> (4C, X(Y+1)(Z+1)) channel-major zero-padded yz-pack."""
+    X, Y, Z, C = volume.shape
+    p = jnp.pad(volume, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    rows = X * (Y + 1) * (Z + 1)
+    out = jnp.zeros((4 * C, rows), volume.dtype)
+    for k in range(4):
+        oy, oz = (k >> 1) & 1, k & 1
+        slab = p[:, oy:Y + 1 + oy, oz:Z + 1 + oz]
+        out = out.at[k * C:(k + 1) * C].set(
+            jnp.moveaxis(slab, -1, 0).reshape(C, rows))
+    return out
+
+
+def pack_trilinear_corners_yz(volume):
+    """(X, Y, Z, C) -> (X, Y+1, Z+1, 4C) yz-corner-packed volume: row
+    (x, j, k) holds the 2x2 (y, z) window of the sample whose floor cell is
+    (y0, z0) = (j-1, k-1) at x-plane x, in binary (oy, oz) order, zeros
+    beyond the edges.  A trilinear sample then costs TWO row gathers (the
+    x0 and x0+1 planes) instead of 8, at 4x the memory — the middle point
+    of the pack-memory/gather-count trade (full 8-corner pack is 8x)."""
+    X, Y, Z, C = volume.shape
+    p = jnp.pad(volume, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    out = jnp.zeros((X, Y + 1, Z + 1, 4 * C), volume.dtype)
+    for k in range(4):
+        oy, oz = (k >> 1) & 1, k & 1
+        out = out.at[..., k * C:(k + 1) * C].set(
+            p[:, oy:Y + 1 + oy, oz:Z + 1 + oz])
+    return out
+
+
+def trilinear_sample_packed_yz(packed, coords, dims, *, normalized=True,
+                               align_corners=True):
+    """Trilinear sampling from a ``pack_trilinear_corners_yz`` volume;
+    numerically equal to ``trilinear_sample_3d`` of the original.  VALUE
+    path only (no custom transpose — use inside stop-gradient regions)."""
+    X, Y, Z = dims
+    C = packed.shape[-1] // 4
+    x = coords[..., 0]
+    y = coords[..., 1]
+    z = coords[..., 2]
+    if normalized:
+        x = _unnormalize(x, X, align_corners)
+        y = _unnormalize(y, Y, align_corners)
+        z = _unnormalize(z, Z, align_corners)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    z0 = jnp.floor(z)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    fz = (z - z0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    z0i = z0.astype(jnp.int32)
+    inb_yz = (y0i >= -1) & (y0i <= Y - 1) & (z0i >= -1) & (z0i <= Z - 1)
+    yi = jnp.clip(y0i, -1, Y - 1) + 1
+    zi = jnp.clip(z0i, -1, Z - 1) + 1
+    gx, gy, gz = 1.0 - fx, 1.0 - fy, 1.0 - fz
+    flat = packed.reshape(-1, 4 * C)
+    out = None
+    for ox in (0, 1):
+        cx = x0i + ox
+        vx = (cx >= 0) & (cx < X) & inb_yz
+        idx = (jnp.clip(cx, 0, X - 1) * (Y + 1) + yi) * (Z + 1) + zi
+        vals = flat[idx.reshape(-1)].reshape(*idx.shape, 4 * C)
+        vals = vals * vx[..., None].astype(packed.dtype)
+        wx = fx if ox else gx
+        for k in range(4):
+            oy, oz = (k >> 1) & 1, k & 1
+            w = wx * (fy if oy else gy) * (fz if oz else gz)
+            term = vals[..., k * C:(k + 1) * C] * w
+            out = term if out is None else out + term
+    return out
 
 
 def trilinear_sample_packed_3d(packed, coords, dims, *, normalized=True,

@@ -544,6 +544,24 @@ class Runner:
                 # sample instead of 8 (value/∂pts exact, incl. borders)
                 stages = pack_stages(stages)
 
+            pack_mode = self.conf.get_string("train.pack_match_volume",
+                                             default="none")
+            if pack_mode != "none":
+                # corner-pack the density volume for the z_vals pre-render
+                # (bit-exact, value-only): "full" = 8x memory / 1 gather,
+                # "yz" = 4x / 2 gathers.  Off by default — at 704^3 the
+                # packed table is 5.6 GB (full) and validation during
+                # training shares HBM with the optimizer state; bench.py
+                # enables it standalone.
+                from .ops import PackedVolume
+                try:
+                    mv = PackedVolume.pack(matching_volume, pack_mode)
+                    jax.block_until_ready(mv.packed)
+                    matching_volume = mv
+                except Exception as e:  # noqa: BLE001 — OOM at this size
+                    print(f"pack_match_volume[{pack_mode}] failed "
+                          f"({type(e).__name__}); using the unpacked volume")
+
             stages_ff = stages[::-1]
             feats_ff = [f for f in features][::-1]
 

@@ -230,3 +230,68 @@ def test_trilinear_cm_vjp_matches_autodiff():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(gc_c), np.asarray(gc_r),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_build_z_vals_packed_matches_unpacked():
+    """build_z_vals with a (packed, dims) corner-packed density volume is
+    bit-identical to the plain-volume path (same RNG splits, same math)."""
+    from surf_tpu.nn import implicit_surface
+    from surf_tpu.ops import PackedVolume
+    R = 12
+    vol = jnp.asarray(RNG.randn(R, R, R, 1).astype(np.float32))
+    static = {"n_samples": [8, 6, 4], "sample_ranges": [1.0, 0.4, 0.1],
+              "n_depth": 32, "perturb": 1.0}
+    nr = 64
+    rays_o = jnp.asarray(RNG.uniform(-0.2, 0.2, (nr, 3)).astype(np.float32))
+    d = RNG.randn(nr, 3).astype(np.float32)
+    rays_d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    near = jnp.full((nr, 1), 0.5, jnp.float32)
+    far = jnp.full((nr, 1), 2.5, jnp.float32)
+    key = jax.random.PRNGKey(7)
+    ref = implicit_surface.build_z_vals(key, static, rays_o, rays_d,
+                                        near, far, vol)
+    # PackedVolume crosses the jit boundary with dims/kind as static aux
+    zfn = jax.jit(lambda mv: implicit_surface.build_z_vals(
+        key, static, rays_o, rays_d, near, far, mv))
+    got = zfn(PackedVolume.pack(vol, "full"))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("align_corners", [True, False])
+def test_trilinear_packed_yz_matches_unpacked(align_corners):
+    from surf_tpu.ops import (pack_trilinear_corners_yz,
+                              trilinear_sample_packed_yz)
+    X, Y, Z, C = 9, 11, 7, 2
+    vol = jnp.asarray(RNG.randn(X, Y, Z, C).astype(np.float32))
+    coords = jnp.asarray(RNG.uniform(-1.7, 1.7, (800, 3)).astype(np.float32))
+    ref = trilinear_sample_3d(vol, coords, align_corners=align_corners)
+    packed = pack_trilinear_corners_yz(vol)
+    assert packed.shape == (X, Y + 1, Z + 1, 4 * C)
+    got = trilinear_sample_packed_yz(packed, coords, (X, Y, Z),
+                                     align_corners=align_corners)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_build_z_vals_packed_yz_matches_unpacked():
+    from surf_tpu.nn import implicit_surface
+    from surf_tpu.ops import PackedVolume
+    R = 12
+    vol = jnp.asarray(RNG.randn(R, R, R, 1).astype(np.float32))
+    static = {"n_samples": [8, 6, 4], "sample_ranges": [1.0, 0.4, 0.1],
+              "n_depth": 32, "perturb": 1.0}
+    nr = 64
+    rays_o = jnp.asarray(RNG.uniform(-0.2, 0.2, (nr, 3)).astype(np.float32))
+    d = RNG.randn(nr, 3).astype(np.float32)
+    rays_d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    near = jnp.full((nr, 1), 0.5, jnp.float32)
+    far = jnp.full((nr, 1), 2.5, jnp.float32)
+    key = jax.random.PRNGKey(7)
+    ref = implicit_surface.build_z_vals(key, static, rays_o, rays_d,
+                                        near, far, vol)
+    zfn = jax.jit(lambda mv: implicit_surface.build_z_vals(
+        key, static, rays_o, rays_d, near, far, mv))
+    got = zfn(PackedVolume.pack(vol, "yz"))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)

@@ -63,12 +63,17 @@ def synth_grid(rng, res, parent_cap, *, dense=False):
 
 
 def bench(label, fn, *args, iters=5):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.time()
-    for _ in range(iters):
+    try:
         out = fn(*args)
-    jax.block_until_ready(out)
+        jax.block_until_ready(out)
+        t0 = time.time()
+        for _ in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+    except Exception as e:  # noqa: BLE001 — keep profiling the other parts
+        print(f"{label:>10s}:   FAILED ({type(e).__name__}) — likely OOM "
+              "next to the packed/dense tables; component timing skipped")
+        return float("nan")
     dt = (time.time() - t0) / iters * 1000
     print(f"{label:>10s}: {dt:8.1f} ms/iter")
     return dt
@@ -157,6 +162,21 @@ def main():
         jax.random.PRNGKey(99), (res_fine, res_fine, res_fine, 1),
         dtype=jnp.float32).astype(jnp.dtype(mdtype))
     jax.block_until_ready(matching_volume)
+    pack_mode = os.environ.get("PROF_PACK_MATCH", "none")
+    if pack_mode not in ("0", "none"):
+        # corner-packed density table: 1 (full) or 2 (yz) gathers per
+        # pre-render sample instead of 8
+        from surf_tpu.ops import PackedVolume
+        for mode in (["full", "yz"] if pack_mode == "full" else [pack_mode]):
+            try:
+                mv = PackedVolume.pack(matching_volume, mode)
+                jax.block_until_ready(mv.packed)
+                matching_volume = mv
+                print(f"# pack_match: {mode}", file=sys.stderr)
+                break
+            except Exception as e:  # noqa: BLE001 — OOM at this size
+                print(f"# pack_match[{mode}] failed ({type(e).__name__})",
+                      file=sys.stderr)
 
     occ_vol = None
     if os.environ.get("PROF_DENSE_STORAGE", "1") != "0":
