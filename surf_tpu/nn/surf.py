@@ -28,32 +28,45 @@ from ..ops import sparse as sp
 
 def init(key, conf):
     """Returns (params, state, static)."""
-    k1, k2, k3, k4 = jax.random.split(key, 4)
     range_ratios = conf.get_list("range_ratios")
     num_stage = len(range_ratios)
 
-    fn_params = feature_net.init(k1, conf["feature_network"])
-    vol_params = volume_mod.init(k2, conf["volume"])
-    reg_params, reg_state = reg_net.init_list(k3, conf["reg_network"])
-    is_params, is_static = implicit_surface.init(k4, conf["implicit_surface"])
+    # All array construction under ONE jit: eagerly, the geometric/weight-
+    # norm inits dispatch ~120 separate op compiles (~80 s/process, worse
+    # over the axon tunnel); jitted it is one compile that also lands in
+    # the persistent compilation cache.  The per-module statics are plain
+    # conf-derived Python, captured from the (always-executed) trace.
+    static_box = {}
 
-    params = {
-        "feature_network": fn_params,
-        "volume": vol_params,
-        "reg_network": reg_params,
-        "implicit_surface": is_params,
-    }
-    # strip weak types (leaves built from Python scalars, e.g. jnp.full):
-    # after the first optimizer update they turn strong and every graph
-    # that takes params retraces once — ~20 min of recompiles at the full
-    # protocol on the remote-compile backend
-    params = jax.tree.map(
-        lambda x: jax.lax.convert_element_type(x, x.dtype), params)
-    state = {
-        "reg_network": reg_state,
-        # frozen copy of the feature network, refreshed on even steps
-        "match_feature_network": jax.tree.map(jnp.copy, fn_params),
-    }
+    def _arrays(key):
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        fn_params = feature_net.init(k1, conf["feature_network"])
+        vol_params = volume_mod.init(k2, conf["volume"])
+        reg_params, reg_state = reg_net.init_list(k3, conf["reg_network"])
+        is_params, is_static = implicit_surface.init(
+            k4, conf["implicit_surface"])
+        static_box["implicit_surface"] = is_static
+        params = {
+            "feature_network": fn_params,
+            "volume": vol_params,
+            "reg_network": reg_params,
+            "implicit_surface": is_params,
+        }
+        # strip weak types (leaves built from Python scalars, e.g.
+        # jnp.full): after the first optimizer update they turn strong and
+        # every graph that takes params retraces once — ~20 min of
+        # recompiles at the full protocol on the remote-compile backend
+        params = jax.tree.map(
+            lambda x: jax.lax.convert_element_type(x, x.dtype), params)
+        state = {
+            "reg_network": reg_state,
+            # frozen copy of the feature network, refreshed on even steps
+            "match_feature_network": jax.tree.map(jnp.copy, fn_params),
+        }
+        return params, state
+
+    params, state = jax.jit(_arrays)(key)
+    is_static = static_box["implicit_surface"]
 
     base_dim = conf.get_list("volume.base_volume_dim")[0]
     default_caps = [(base_dim // 2) ** 3] + [(base_dim // 2) ** 3] * (num_stage - 1)

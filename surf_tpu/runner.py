@@ -75,6 +75,15 @@ class Runner:
         self.conf = ConfigFactory.parse_file(args.conf)
         self.args = args
 
+        # persistent XLA compilation cache: process restarts (resume, val
+        # re-runs, finetune after train) skip the ~1000 s of cascade
+        # compiles.  conf key train.compile_cache_dir overrides; "" disables.
+        from .utils.compile_cache import enable_persistent_cache
+        cache_dir = self.conf.get_string("train.compile_cache_dir",
+                                         default=None)
+        if cache_dir != "":
+            enable_persistent_cache(cache_dir)
+
         # multi-host rendezvous BEFORE any jax device use (reference:
         # init_distributed_mode, utils/distribute.py:66-89).  Single-process
         # runs are a no-op; multi-process runs make jax.devices() span the

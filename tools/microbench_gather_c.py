@@ -7,7 +7,6 @@ M in {352^3, 704^3} (table size), bf16 and f32.
 """
 
 import os
-import sys
 import time
 
 import numpy as np

@@ -16,7 +16,6 @@ Variants at the two protocol-scale lookup shapes:
 """
 
 import os
-import sys
 import time
 
 import numpy as np

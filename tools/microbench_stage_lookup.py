@@ -76,8 +76,6 @@ def main():
 
     for i, (grid, st) in enumerate(stages_ff):
         kind = type(st).__name__
-        f = jax.jit(lambda st, p: sp.sparse_trilinear(None, st, p)
-                    if not isinstance(st, sp.VoxelGrid) else None)
 
         @jax.jit
         def one(st, p):
