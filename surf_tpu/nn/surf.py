@@ -276,20 +276,25 @@ def build_volumes(key, params, state, static, ipts, features, *,
 
 
 def forward(key, params, state, static, mode, ipts, cos_anneal_ratio=1.0,
-            step=None, *, training=None):
+            step=None, *, training=None, perturb=None):
     """Training / finetune-style forward over sampled rays.
 
     Validation (mesh extraction + full-image render) lives in the runner —
     it is host-orchestrated chunked work, not a single jit graph.
+    ``perturb`` overrides the mode-derived z-val jitter (reference
+    build_volumes perturb=(mode=="train"), surf.py:139) — parity tests
+    disable it to compare against the torch reference deterministically.
     """
     if training is None:
         training = mode == "train"
+    if perturb is None:
+        perturb = mode == "train"
     k_build, k_render = jax.random.split(key)
 
     features = feature_net.apply(params["feature_network"], ipts["imgs"])
     outputs, stages, matching_volume, new_state = build_volumes(
         k_build, params, state, static, ipts, features,
-        perturb=(mode == "train"), training=training)
+        perturb=perturb, training=training)
 
     match_features = [
         jax.lax.stop_gradient(f) for f in

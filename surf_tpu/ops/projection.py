@@ -11,6 +11,7 @@ and reused.  All cameras follow the reference's convention:
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 
@@ -180,7 +181,11 @@ def make_pixel_grid(hw, out_hw=None, dtype=jnp.float32):
     if out_hw is None:
         out_hw = hw
     oh, ow = out_hw
-    tx = jnp.linspace(0.0, w - 1.0, ow, dtype=dtype)
-    ty = jnp.linspace(0.0, h - 1.0, oh, dtype=dtype)
-    xx, yy = jnp.meshgrid(tx, ty, indexing="xy")
-    return jnp.stack([xx.reshape(-1), yy.reshape(-1)], axis=-1)
+    # host-side float64 linspace: jnp's float32 linspace yields 0.99999994
+    # where torch.linspace yields exactly 1.0, and the matching field FLOORS
+    # these to index previous-stage depth maps (matching_field.py:104) — a
+    # 1e-7 undershoot selects the wrong row for every integer coordinate
+    tx = np.linspace(0.0, w - 1.0, ow).astype(dtype)
+    ty = np.linspace(0.0, h - 1.0, oh).astype(dtype)
+    xx, yy = np.meshgrid(tx, ty, indexing="xy")
+    return jnp.asarray(np.stack([xx.reshape(-1), yy.reshape(-1)], axis=-1))

@@ -68,6 +68,17 @@ def main():
     parser.add_argument("--eval_every", type=int, default=0,
                         help="extract a mesh + report Chamfer vs the "
                              "analytic sphere every N steps")
+    parser.add_argument("--n_src", type=int, default=2,
+                        help="source views (the reference TRAIN protocol "
+                             "uses 4, confs/surf.conf)")
+    parser.add_argument("--n_depth", type=int, default=0,
+                        help="override render.n_depth (protocol: 256)")
+    parser.add_argument("--match_dtype", type=str, default=None,
+                        help="matching-volume dtype override (protocol at "
+                             "704^3: bfloat16)")
+    parser.add_argument("--log_jsonl", type=str, default=None,
+                        help="write one JSON line per step (time, loss, "
+                             "psnr) for step-time histograms")
     args = parser.parse_args()
 
     from surf_tpu.config import ConfigFactory
@@ -81,9 +92,13 @@ def main():
     n_stages = args.stages
     mc = conf["model"]
     mc["volume"]["base_volume_dim"] = [args.base_dim] * 3
+    # capacities aligned with tools/train_step_hw.py so the two tools share
+    # persistent-compile-cache entries at the full protocol
     mc["volume"]["stage_parent_capacity"] = \
-        [(args.base_dim // 2) ** 3, (args.base_dim // 2) ** 3 * 2, 262144,
+        [(args.base_dim // 2) ** 3, (args.base_dim // 2) ** 3, 262144,
          393216][:n_stages]
+    if args.match_dtype:
+        mc["volume"]["matching_dtype"] = args.match_dtype
     # the tiny base conf is 2-stage; widen every per-stage list to n_stages
     mc["range_ratios"] = [1.0, 0.4, 0.1, 0.01][:n_stages]
     mc["feature_network"]["d_out"] = [4] * n_stages
@@ -100,9 +115,13 @@ def main():
     isf["render"]["sample_ranges"] = [1.0, 0.4, 0.1, 0.01][:n_stages]
     isf["sdf_network"]["feat_channels"] = 7 * n_stages
     isf["color_network"]["d_feature"] = 4 * n_stages
+    if args.n_depth:
+        isf["render"]["n_depth"] = args.n_depth
+    conf["train.loss"]["stage_weights"] = [0.25, 0.5, 0.75, 1.0][-n_stages:]
     conf["train_dataset"]["img_hw"] = list(args.img)
     conf["train_dataset"]["n_rays"] = args.n_rays
     conf["train_dataset"]["n_scenes"] = 1
+    conf["train_dataset"]["num_src_view"] = args.n_src
 
     ds = SyntheticDataset(conf["train_dataset"], "train")
     params, state, static = surf.init(jax.random.PRNGKey(0), conf["model"])
@@ -223,17 +242,31 @@ def main():
     t0 = time.time()
     first = None
     chamfer_track = []
+    step_times = []
+    logf = open(args.log_jsonl, "a") if args.log_jsonl else None
     for step in range(args.steps):
         batch_np = ds[step % len(ds)]
         batch = {k: jnp.asarray(v) for k, v in batch_np.items()
                  if not isinstance(v, str)}
         key, k = jax.random.split(key)
+        t_step = time.time()
         params, state, opt_state, res = train_step(
             params, state, opt_state, batch, k, jnp.float32(step))
         if step == 0:
             jax.block_until_ready(res["loss"])
             print(f"compile+step0: {time.time() - t0:.1f}s", flush=True)
             t0 = time.time()
+        if logf is not None:
+            jax.block_until_ready(res["loss"])
+            dt_step = time.time() - t_step
+            step_times.append(dt_step)
+            import json as _json
+            logf.write(_json.dumps({
+                "step": step, "t": round(dt_step, 3),
+                "loss": round(float(res["loss"]), 5),
+                "color": round(float(res["color_loss"]), 5),
+                "psnr": round(float(res["psnr"]), 3)}) + "\n")
+            logf.flush()
         if step % 10 == 0 or step == args.steps - 1:
             r = {k_: float(v) for k_, v in res.items()}
             if first is None:
@@ -249,6 +282,15 @@ def main():
                 chamfer_track.append((step + 1, out[2]))
     steps_done = max(args.steps - 1, 1)
     print(f"steady: {(time.time() - t0) / steps_done:.3f}s/step")
+    if len(step_times) > 1:
+        st = np.asarray(step_times[1:])
+        qs = np.percentile(st, [5, 25, 50, 75, 95, 100])
+        print("step-time histogram (s): "
+              + " ".join(f"p{p}={v:.1f}" for p, v in
+                         zip([5, 25, 50, 75, 95, 100], qs))
+              + f"  mean={st.mean():.1f} n={len(st)}")
+    if logf is not None:
+        logf.close()
     print(f"psnr {first['psnr']:.2f} -> {r['psnr']:.2f}; "
           f"depth_err {first['depth_err']:.4f} -> {r['depth_err']:.4f}")
 
