@@ -25,11 +25,9 @@ import numpy as np
 REFERENCE_RAYS_PER_SEC_ESTIMATE = 1700.0
 
 
-def protocol_conf(n_rays, base_dim, n_stages, img_hw, match_dtype="bfloat16"):
-    """The full reference protocol as a surf_tpu config (confs/surf.conf
-    semantics: 4-stage cascade 88^3 -> 704^3, 136 samples/ray)."""
-    from surf_tpu.config import ConfigFactory
-
+def protocol_model_text(base_dim, n_stages, match_dtype="bfloat16"):
+    """The reference protocol model section (confs/surf.conf semantics:
+    4-stage cascade 88^3 -> 704^3, 136 samples/ray) as HOCON text."""
     ratios = [1.0, 0.4, 0.1, 0.01][:n_stages]
     n_samples = [64, 32, 24, 16][:n_stages]
     mf_samples = [128, 64, 32, 16][:n_stages]
@@ -39,14 +37,7 @@ def protocol_conf(n_rays, base_dim, n_stages, img_hw, match_dtype="bfloat16"):
     ones8 = ", ".join(["8"] * n_stages)
     feat_ch = 7 * n_stages
 
-    return ConfigFactory.parse_string(f"""
-    ds {{
-        num_src_view = 2
-        img_hw = [{img_hw[0]}, {img_hw[1]}]
-        n_rays = {n_rays}
-        n_scenes = 1
-        n_views_total = 6
-    }}
+    return f"""
     model {{
         range_ratios = [{', '.join(str(r) for r in ratios)}]
         feature_network {{ d_in = 3  d_base = 8  d_out = [{d_outs}] }}
@@ -79,7 +70,79 @@ def protocol_conf(n_rays, base_dim, n_stages, img_hw, match_dtype="bfloat16"):
             }}
         }}
     }}
-    """)
+    """
+
+
+def protocol_conf(n_rays, base_dim, n_stages, img_hw, match_dtype="bfloat16"):
+    """protocol model + a synthetic-dataset section, parsed."""
+    from surf_tpu.config import ConfigFactory
+
+    return ConfigFactory.parse_string(f"""
+    ds {{
+        num_src_view = 2
+        img_hw = [{img_hw[0]}, {img_hw[1]}]
+        n_rays = {n_rays}
+        n_scenes = 1
+        n_views_total = 6
+    }}
+    """ + protocol_model_text(base_dim, n_stages, match_dtype))
+
+
+def runner_validate_bench(base_dim, n_stages, img_hw, mesh_res):
+    """Time Runner.validate end-to-end (volumes -> mesh -> full-image render
+    -> artifact writes) on the synthetic scene — the user-facing validation
+    code path (VERDICT r3 #8), at the reference's shipped val settings
+    (val_res_level 4, confs/surf.conf:26).  Returns seconds per scene."""
+    import types
+    import tempfile
+
+    val_res_level = int(os.environ.get("BENCH_VAL_RES_LEVEL", 4))
+    conf_text = f"""
+    general {{ base_exp_dir = {tempfile.mkdtemp(prefix="bench_runner_val_")} }}
+    train_dataset {{
+        dataset_name = SyntheticDataset
+        num_src_view = 2
+        img_hw = [{img_hw[0]}, {img_hw[1]}]
+        n_rays = 512
+        n_scenes = 1
+        n_views_total = 6
+    }}
+    val_dataset {{
+        dataset_name = SyntheticDataset
+        num_src_view = 2
+        img_hw = [{img_hw[0]}, {img_hw[1]}]
+        val_res_level = {val_res_level}
+        n_scenes = 1
+        n_views_total = 6
+    }}
+    train {{
+        lr_conf {{ feat_lr = 1e-3  mlp_lr = 5e-4 }}
+        epochs = 1  anneal_end = 1  warmup = 1  alpha = 0.02
+        save_freq = 1  log_freq = 1  val_freq = 1
+        loss {{
+            color_weight = 1.0  sparse_weight = 0.02  igr_weight = 0.1
+            sparse_scale_factor = 100  mfc_weight = 1.0
+            smooth_weight = 0.0001  tv_weight = 0.0  depth_weight = 0.0
+            ptloss_weight = 1.0  pseudo_auxi_depth_weight = 1.0
+            pseudo_sdf_weight = 1.0  pseudo_depth_weight = 1.0
+            stage_weights = [{", ".join(str(w) for w in
+                                        [0.25, 0.5, 0.75, 1.0][-n_stages:])}]
+        }}
+    }}
+    """ + protocol_model_text(base_dim, n_stages)
+    conf_path = os.path.join(tempfile.mkdtemp(prefix="bench_conf_"),
+                             "bench_val.conf")
+    with open(conf_path, "w") as f:
+        f.write(conf_text)
+
+    from surf_tpu.runner import Runner
+    args = types.SimpleNamespace(
+        mode="val", conf=conf_path, resume=None, mesh_resolution=mesh_res,
+        clean_mesh=False, scene=None, ref_view=None, load_vol=False, seed=0)
+    runner = Runner(args)
+    t0 = time.time()
+    runner.validate(0)
+    return time.time() - t0
 
 
 def main():
@@ -256,6 +319,23 @@ def main():
                                           mesh_res, block=64, occ=occ)
         mesh_s = time.time() - t0
 
+    # user-facing validation path: Runner.validate sec/scene (opt-out with
+    # BENCH_RUNNER_VAL=0).  Runs in-process AFTER the micro bench so the
+    # compile cache + device are warm.
+    runner_val_s = None
+    if os.environ.get("BENCH_RUNNER_VAL", "1") != "0":
+        # free the micro-bench cascade before the runner builds its own
+        # (both resident would exceed HBM at the full protocol)
+        del stages, stages_ff, matching_volume, occ, fused_colors, \
+            warp_feats, feats_ff, features, params, state
+        try:
+            runner_val_s = runner_validate_bench(
+                base_dim, n_stages, img_hw,
+                int(os.environ.get("BENCH_MESH_RES", 512)))
+        except Exception as e:  # noqa: BLE001 — report the micro bench anyway
+            print(f"# runner_validate bench failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
     result = {
         "metric": "render_rays_per_sec_per_chip",
         "value": round(rays_per_sec, 1),
@@ -270,6 +350,8 @@ def main():
     }
     if mesh_s is not None:
         result["mesh_extract_s"] = round(mesh_s, 1)
+    if runner_val_s is not None:
+        result["runner_validate_s"] = round(runner_val_s, 1)
     print(json.dumps(result))
     print(f"# device={jax.devices()[0].device_kind} stages={n_stages} "
           f"base_dim={base_dim} img={img_hw[0]}x{img_hw[1]} rays={n_rays} "

@@ -24,10 +24,14 @@ from ..ops.sparse import occupied_blocks_host
 
 
 def extract_geometry(sdf_fn, params, stages, resolution, block=64, occ=None,
-                     blocks_per_call=8):
+                     blocks_per_call=8, ray_mesh=None):
     """sdf_fn(params, stages, occ, pts (m,3)) -> (m,) SDF values (jitted by
     the caller; ``occ`` may be None or an ops.sparse.OccupancyVolume for
-    single-gather visibility).  Returns (verts [-1,1]-frame, tris, u)."""
+    single-gather visibility).  Returns (verts [-1,1]-frame, tris, u).
+
+    ``ray_mesh``: optional 1-D jax mesh — the lattice points of each group
+    are sharding-constrained across its devices so XLA SPMD splits the SDF
+    evaluation (the point axis is embarrassingly parallel; SURVEY §5)."""
     R = int(resolution)
     B = int(block)
     G = int(blocks_per_call)
@@ -45,6 +49,12 @@ def extract_geometry(sdf_fn, params, stages, resolution, block=64, occ=None,
         return (slice(bx * B, min((bx + 1) * B, R)),
                 slice(by * B, min((by + 1) * B, R)),
                 slice(bz * B, min((bz + 1) * B, R)))
+
+    if ray_mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        pts_sharding = NamedSharding(ray_mesh, PartitionSpec(ray_mesh.axis_names[0]))
+    else:
+        pts_sharding = None
 
     @jax.jit
     def eval_group(params, stages, occ, origins):
@@ -64,6 +74,8 @@ def extract_geometry(sdf_fn, params, stages, resolution, block=64, occ=None,
             jnp.broadcast_to(py[:, None, :, None], shp),
             jnp.broadcast_to(pz[:, None, None, :], shp),
         ], axis=-1).reshape(-1, 3)
+        if pts_sharding is not None:
+            pts = jax.lax.with_sharding_constraint(pts, pts_sharding)
         return sdf_fn(params, stages, occ, pts)
 
     # dispatch every group asynchronously; convert (sync) afterwards

@@ -420,11 +420,19 @@ class Runner:
             self._jit_cache["build_volumes"] = build
         return self._jit_cache["build_volumes"]
 
+    def _ray_mesh(self):
+        """1-D device mesh for ray/point-axis sharding of validation work
+        (SURVEY §5 long-context plan; None = single device or disabled)."""
+        if "ray_mesh" not in self._jit_cache:
+            from .parallel.ray_shard import ray_mesh
+            enabled = self.conf.get_bool("train.val_ray_shard", default=True)
+            self._jit_cache["ray_mesh"] = ray_mesh() if enabled else None
+        return self._jit_cache["ray_mesh"]
+
     def _sdf_grid_jit(self):
         if "sdf_grid" not in self._jit_cache:
             static = self.static["implicit_surface"]
 
-            @jax.jit
             def sdf_chunk(params, stages, occ, pts):
                 grids = occ if occ is not None else [g for g, _ in stages]
                 m = implicit_surface.occupancy_mask(grids, pts)
@@ -432,6 +440,12 @@ class Runner:
                 # outside the active set the SDF is pinned positive (empty)
                 return jnp.where(m[:, None], s, 100.0)[:, 0]
 
+            mesh = self._ray_mesh()
+            if mesh is not None:
+                from .parallel.ray_shard import shard_rays_jit
+                sdf_chunk = shard_rays_jit(sdf_chunk, mesh, 4, (3,))
+            else:
+                sdf_chunk = jax.jit(sdf_chunk)
             self._jit_cache["sdf_grid"] = sdf_chunk
         return self._jit_cache["sdf_grid"]
 
@@ -439,7 +453,6 @@ class Runner:
         if "render_chunk" not in self._jit_cache:
             static = self.static
 
-            @jax.jit
             def render_chunk(params, key, rays_o, rays_d, near, far,
                              matching_volume, stages, warp_feats, features,
                              imgs, intrs, c2ws, occ, fused_colors):
@@ -450,15 +463,24 @@ class Runner:
                     warp_feats=warp_feats, occ=occ,
                     fused_colors=fused_colors)
 
+            mesh = self._ray_mesh()
+            if mesh is not None:
+                from .parallel.ray_shard import shard_rays_jit
+                render_chunk = shard_rays_jit(render_chunk, mesh, 15,
+                                              (2, 3, 4, 5))
+            else:
+                render_chunk = jax.jit(render_chunk)
             self._jit_cache["render_chunk"] = render_chunk
         return self._jit_cache["render_chunk"]
 
     def extract_geometry(self, params, stages, resolution, block=64, occ=None):
         """Block-skipped SDF grid eval on device -> host marching cubes
-        (implicit_surface.py:337-357; see geometry/extract.py)."""
+        (implicit_surface.py:337-357; see geometry/extract.py).  With >1
+        device the lattice points are sharded over the ray mesh."""
         from .geometry import extract_geometry
         return extract_geometry(self._sdf_grid_jit(), params, stages,
-                                resolution, block=block, occ=occ)
+                                resolution, block=block, occ=occ,
+                                ray_mesh=self._ray_mesh())
 
     def render_full_image(self, params, key, ipts, stages, matching_volume,
                           features, match_features, occ=None):
@@ -476,6 +498,10 @@ class Runner:
         near_v = float(np.asarray(ipts["near"]).reshape(-1)[0])
         far_v = float(np.asarray(ipts["far"]).reshape(-1)[0])
         chunk = self.val_chunk
+        mesh = self._ray_mesh()
+        if mesh is not None and chunk % mesh.size:
+            # ray-sharded chunks split evenly across devices
+            chunk += mesh.size - chunk % mesh.size
         near_c = jnp.full((chunk, 1), near_v, jnp.float32)
         far_c = jnp.full((chunk, 1), far_v, jnp.float32)
         outs = {"color_fine": [], "normal": [], "sdf_depth": [], "render_depth": [],
