@@ -106,6 +106,24 @@ def convert_feature_network(sd, prefix, num_stage):
     return out
 
 
+def convert_feature_network_old(sd, prefix):
+    """The unused 3-scale FPN variant (reference FeatureNetworkOld,
+    feature_network.py:78-123) -> nn/feature_net.init_legacy layout."""
+    def block(name):
+        return _conv2d(sd, f"{prefix}.{name}.conv")
+
+    return {
+        "conv0": [block("conv0.0"), block("conv0.1")],
+        "conv1": [block("conv1.0"), block("conv1.1"), block("conv1.2")],
+        "conv2": [block("conv2.0"), block("conv2.1"), block("conv2.2")],
+        "out2": _conv2d(sd, f"{prefix}.out2"),
+        "out1": _conv2d(sd, f"{prefix}.out1"),
+        "out0": _conv2d(sd, f"{prefix}.out0"),
+        "inner1": _conv2d(sd, f"{prefix}.inner1"),
+        "inner0": _conv2d(sd, f"{prefix}.inner0"),
+    }
+
+
 def convert_reg_network(sd, num_stages):
     names = ["conv0", "conv1", "conv2", "conv3", "conv4", "conv5", "conv6",
              "conv7", "conv9", "conv11"]

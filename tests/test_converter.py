@@ -239,3 +239,32 @@ def test_sparse_conv3d_kernel_order():
                        jnp.asarray(x.numpy().transpose(0, 2, 3, 4, 1)))
     np.testing.assert_allclose(np.asarray(got).transpose(0, 4, 1, 2, 3), ref,
                                atol=1e-4, rtol=1e-4)
+
+
+def test_feature_network_old_activations():
+    """Activation parity of the legacy 3-scale FPN (FeatureNetworkOld,
+    feature_network.py:78-123) vs feature_net.apply_legacy with converted
+    params — upgrades the variant from 'ported' to 'activation-matched'."""
+    from models.modules.feature_network import FeatureNetworkOld
+    from surf_tpu.convert.torch_converter import convert_feature_network_old
+
+    torch.manual_seed(5)
+    conf = _Conf(d_base=8, d_out=4)
+    net = FeatureNetworkOld(conf).eval()
+
+    x = torch.randn(2, 3, 64, 80)
+    with torch.no_grad():
+        ref_maps = net(x)                  # [out2 (coarse), out1, out0]
+
+    sd = _prefix_sd(net, "fn")
+    params = convert_feature_network_old(sd, "fn")
+    params = jax.tree.map(jnp.asarray, params)
+    x_jax = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    from surf_tpu.nn.feature_net import apply_legacy
+    got = apply_legacy(params, x_jax)
+
+    assert len(got) == len(ref_maps) == 3
+    for g, r in zip(got, ref_maps):
+        r_np = r.numpy().transpose(0, 2, 3, 1)
+        assert g.shape == r_np.shape
+        np.testing.assert_allclose(np.asarray(g), r_np, atol=3e-5, rtol=1e-4)

@@ -167,3 +167,93 @@ def test_bmvs_dataset(bmvs_root):
     assert item["imgs"].shape == (3, H, W, 3)
     assert int(item["src_idx"]) == 1
     assert item["view_ids"].tolist() == [1, 0, 2]
+
+
+@pytest.fixture(scope="module")
+def neus_root(tmp_path_factory):
+    """Miniature NeuS-preprocessed DTU layout (cameras_sphere.npz +
+    image/mask dirs) for DTUDatasetFinetuneNeuS
+    (reference datasets/dtu_finetune_neus.py:75-140)."""
+    root = tmp_path_factory.mktemp("neus")
+    scan = "scan24"
+    base = root / f"neus_data/data_DTU/dtu_{scan}"
+    os.makedirs(base / "image", exist_ok=True)
+    os.makedirs(base / "mask", exist_ok=True)
+    os.makedirs(root / "Cameras", exist_ok=True)
+    os.makedirs(root / f"PseudoMVSScore/dtu_exp/{scan}/filtered_avg_depth",
+                exist_ok=True)
+    os.makedirs(root / "PseudoMVSDepth", exist_ok=True)
+
+    with open(root / "Cameras/pair.txt", "w") as f:
+        f.write("5\n")
+        for ref in range(5):
+            srcs = [v for v in range(5) if v != ref][:4]
+            f.write(f"{ref}\n{len(srcs)} " +
+                    " ".join(f"{s} {100 - i}" for i, s in enumerate(srcs)) + "\n")
+
+    rng = np.random.RandomState(1)
+    cams = {}
+    intr = np.eye(4, dtype=np.float32)
+    intr[:3, :3] = np.array([[800.0, 0, 800], [0, 800, 600], [0, 0, 1]])
+    scale = np.eye(4, dtype=np.float32) * 2.0
+    scale[3, 3] = 1.0
+    scale[:3, 3] = [0.1, 0.2, 0.3]
+    for vid in range(5):
+        ang = vid * 0.3
+        R = np.array([[np.cos(ang), -np.sin(ang), 0],
+                      [np.sin(ang), np.cos(ang), 0],
+                      [0, 0, 1]], np.float32)
+        extr = np.eye(4, dtype=np.float32)
+        extr[:3, :3] = R
+        extr[:3, 3] = [0.1 * vid, 0.05 * vid, 4.0]
+        cams[f"world_mat_{vid}"] = intr @ extr
+        cams[f"scale_mat_{vid}"] = scale
+        img = (rng.rand(H, W, 3) * 255).astype(np.uint8)
+        Image.fromarray(img).save(base / f"image/{vid:0>6}.png")
+        mask = (rng.rand(H, W) > 0.3).astype(np.uint8) * 255
+        Image.fromarray(mask).save(base / f"mask/{vid:0>3}.png")
+        depth = rng.rand(H, W).astype(np.float32) * 2 + 2.5
+        write_pfm(str(root / f"PseudoMVSScore/dtu_exp/{scan}/"
+                             f"filtered_avg_depth/{vid:0>8}.pfm"), depth)
+    np.savez(base / "cameras_sphere.npz", **cams)
+    write_ply(str(root / "PseudoMVSDepth/mvsnet024_l3.ply"),
+              rng.randn(500, 3).astype(np.float32))
+    return str(root)
+
+
+def test_dtu_finetune_neus_dataset(neus_root):
+    from surf_tpu.data.dtu_finetune import DTUDatasetFinetuneNeuS
+
+    conf = ConfigFactory.parse_string(f"""
+    ds {{
+        data_dir = {neus_root}
+        img_hw = [{H}, {W}]
+        n_rays = 32
+        scene = scan24
+        ref_view = 2
+        val_res_level = 4
+    }}
+    """)["ds"]
+    ds = DTUDatasetFinetuneNeuS(conf)
+    assert ds.all_views[0] == 2 and len(ds.all_views) == 3
+
+    init = ds.get_all_images()
+    assert init["imgs"].shape == (3, H, W, 3)
+    assert init["intrs"].shape == (3, 4, 4) and init["c2ws"].shape == (3, 4, 4)
+
+    b = ds.get_random_rays(0, rng=np.random.RandomState(0))
+    assert b["rays_o"].shape == (32, 3) and b["rays_d"].shape == (32, 3)
+    np.testing.assert_allclose(np.linalg.norm(b["rays_d"], axis=-1), 1.0,
+                               atol=1e-5)
+    assert b["pseudo_pts"].shape == (2048, 3)
+    assert np.isfinite(b["pseudo_depth"]).all()
+    # pseudo points land in the unit-sphere frame ((pw - t) / s)
+    assert np.abs(b["pseudo_pts"]).max() < 10.0
+
+    v = ds.get_rays_at(2)
+    hw = (H // 4) * (W // 4)
+    assert v["rays_o"].shape == (hw, 3)
+    assert v["masks"].shape == (3, H, W)
+    assert v["scale_mat"].shape == (4, 4)
+    # scale_mat maps the unit frame back to world: s on the diagonal
+    np.testing.assert_allclose(v["scale_mat"][0, 0], 2.0, atol=1e-5)

@@ -79,6 +79,10 @@ def main():
     parser.add_argument("--log_jsonl", type=str, default=None,
                         help="write one JSON line per step (time, loss, "
                              "psnr) for step-time histograms")
+    parser.add_argument("--save_ckpt", type=str, default=None,
+                        help="save a Runner-compatible checkpoint "
+                             "({epoch, model, state}) at the end — feeds "
+                             "`main.py --mode finetune --resume <ckpt>`")
     args = parser.parse_args()
 
     from surf_tpu.config import ConfigFactory
@@ -293,6 +297,15 @@ def main():
         logf.close()
     print(f"psnr {first['psnr']:.2f} -> {r['psnr']:.2f}; "
           f"depth_err {first['depth_err']:.4f} -> {r['depth_err']:.4f}")
+
+    if args.save_ckpt:
+        from surf_tpu.utils import save_checkpoint
+        save_checkpoint(args.save_ckpt, {
+            "epoch": args.steps,
+            "model": jax.tree.map(np.asarray, params),
+            "state": jax.tree.map(np.asarray, state),
+        })
+        print(f"checkpoint -> {args.save_ckpt}")
 
     out = extract_and_eval(params, state, args.steps)
     if out is not None:
