@@ -11,7 +11,6 @@ and reused.  All cameras follow the reference's convention:
 
 from __future__ import annotations
 
-import numpy as np
 import jax.numpy as jnp
 
 
@@ -181,11 +180,23 @@ def make_pixel_grid(hw, out_hw=None, dtype=jnp.float32):
     if out_hw is None:
         out_hw = hw
     oh, ow = out_hw
-    # host-side float64 linspace: jnp's float32 linspace yields 0.99999994
-    # where torch.linspace yields exactly 1.0, and the matching field FLOORS
-    # these to index previous-stage depth maps (matching_field.py:104) — a
-    # 1e-7 undershoot selects the wrong row for every integer coordinate
-    tx = np.linspace(0.0, w - 1.0, ow).astype(dtype)
-    ty = np.linspace(0.0, h - 1.0, oh).astype(dtype)
-    xx, yy = np.meshgrid(tx, ty, indexing="xy")
-    return jnp.asarray(np.stack([xx.reshape(-1), yy.reshape(-1)], axis=-1))
+    # In-graph iota, NOT a host constant: an embedded (n, 2) f32 constant is
+    # tile-padded to lane width 128 in the TPU executable (~64x bloat;
+    # hundreds of MB across the per-stage train graphs — OOMed the protocol
+    # train step).  Exactness still matters: the matching field FLOORS these
+    # coordinates to index previous-stage depth maps (matching_field.py:104),
+    # and torch.linspace yields exactly 1.0 where jnp's f32 linspace yields
+    # 0.99999994.  j*(w-1) is exact in f32 (< 2^24 for any sane image), and
+    # IEEE division is correctly rounded, so the quotient is exactly integer
+    # wherever the true value is — matching torch.linspace at every floor
+    # boundary (pinned by tests/test_composite_parity.py).
+    def _axis(n, extent):
+        j = jnp.arange(n, dtype=dtype)
+        if n <= 1:
+            return jnp.zeros((max(n, 1),), dtype)
+        return (j * dtype(extent - 1.0)) / dtype(n - 1.0)
+
+    tx = _axis(ow, w)
+    ty = _axis(oh, h)
+    xx, yy = jnp.meshgrid(tx, ty, indexing="xy")
+    return jnp.stack([xx.reshape(-1), yy.reshape(-1)], axis=-1)

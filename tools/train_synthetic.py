@@ -284,6 +284,17 @@ def main():
             out = extract_and_eval(params, state, step + 1)
             if out is not None:
                 chamfer_track.append((step + 1, out[2]))
+            if args.save_ckpt:
+                # periodic save so a wall-clock-bounded run still hands a
+                # usable checkpoint to the finetune stage
+                from surf_tpu.utils import save_checkpoint
+                save_checkpoint(args.save_ckpt, {
+                    "epoch": step + 1,
+                    "model": jax.tree.map(np.asarray, params),
+                    "state": jax.tree.map(np.asarray, state),
+                })
+                print(f"checkpoint @{step + 1} -> {args.save_ckpt}",
+                      flush=True)
     steps_done = max(args.steps - 1, 1)
     print(f"steady: {(time.time() - t0) / steps_done:.3f}s/step")
     if len(step_times) > 1:
