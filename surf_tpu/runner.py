@@ -768,6 +768,12 @@ class Runner:
         ds = self.finetune_dataset
         avg = DictAverageMeter()
         perm = self.host_rng.permutation(ds.num_views)
+        if self.start_epoch == 0 and self.conf.get_bool(
+                "train.val_before_finetune", default=False):
+            # pre-finetune baseline mesh/psnr: the reference's workflow
+            # compares finetuned quality against the init_volumes state
+            # (runner.py:298-398) — export it so the improvement is measurable
+            self.validate_finetune(-1)
         t0 = time.time()
         for step in range(self.start_epoch, self.epochs):
             vid = int(perm[step % len(perm)])

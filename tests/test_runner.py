@@ -91,9 +91,15 @@ def test_finetune(conf_path, tmp_path):
     runner.epochs = 2
     runner.save_freq = 2
     runner.val_freq = 1000  # skip inline val (covered above)
+    # pre-finetune baseline export (train.val_before_finetune): a step-1
+    # mesh must exist so the finetune improvement is measurable
+    runner.conf["train"]["val_before_finetune"] = True
+    runner.mesh_resolution = 32
     runner.finetune()
     ckpts = os.listdir(os.path.join(runner.base_exp_dir, "checkpoints"))
     assert any(c.endswith(".npz") for c in ckpts)
+    meshes = os.listdir(os.path.join(runner.base_exp_dir, "meshes"))
+    assert any("step-1" in m for m in meshes), meshes
 
     # volume-only checkpoint reloads through --load_vol (surf.py:47-54)
     ft_ckpt = os.path.join(runner.base_exp_dir, "checkpoints", sorted(ckpts)[-1])
