@@ -246,8 +246,13 @@ def main():
         from surf_tpu.ops import sparse as sp_ops
         stages = [(g, sp_ops.densify_storage(g, s)) for g, s in stages]
         occ = jax.jit(sp_ops.combined_occupancy)([g for g, _ in stages])
-        # corner-pack the coarse stages: 1 gather/sample instead of 8
-        stages = sp_ops.pack_stages(stages)
+        # corner-pack the coarse stages: 1 gather/sample instead of 8; the
+        # yz 4-corner fallback (2 gathers, half the memory) takes stage 2
+        # when enabled (BENCH_PACK_YZ=<GiB budget>, 0=off while unproven
+        # on hardware — PERF_NOTES round-5 #2)
+        yz_gib = float(os.environ.get("BENCH_PACK_YZ", "0"))
+        stages = sp_ops.pack_stages(stages,
+                                    max_bytes_yz=int(yz_gib * 2 ** 30))
         jax.block_until_ready(stages[-1][1].flat)
     stages_ff = stages[::-1]
     feats_ff = [f for f in features][::-1]

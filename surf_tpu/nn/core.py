@@ -100,6 +100,30 @@ def linear_apply(p, x):
     return y
 
 
+def materialize_weight_norm(tree):
+    """Fold every weight-norm (v, g) pair in a param pytree into the plain
+    weight w = v * g/||v|| that ``linear_apply`` consumes directly.
+
+    The fold is differentiable, so applying it ONCE at the entry of a
+    chunk-looped consumer (the render's lax.map body, mesh SDF sweeps)
+    hoists the per-chunk re-normalization — and, worse, its jvp/transpose
+    graphs under the render's forward-over-reverse AD — out of every chunk
+    while leaving training gradients w.r.t. (v, g) exact (chain rule
+    through the one fold).  Subtrees without v/g pass through unchanged."""
+    if isinstance(tree, dict):
+        if "v" in tree and "g" in tree:
+            v = tree["v"]
+            w = v * (tree["g"] / (jnp.linalg.norm(v, axis=0) + 1e-12))[None, :]
+            out = {"w": w}
+            if "b" in tree:
+                out["b"] = tree["b"]
+            return out
+        return {k: materialize_weight_norm(x) for k, x in tree.items()}
+    if isinstance(tree, (list, tuple)) and not hasattr(tree, "_fields"):
+        return type(tree)(materialize_weight_norm(x) for x in tree)
+    return tree
+
+
 def mlp_init(key, dims, **kw):
     keys = jax.random.split(key, len(dims) - 1)
     return [linear_init(k, dims[i], dims[i + 1], **kw) for i, k in enumerate(keys)]

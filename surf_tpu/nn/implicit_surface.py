@@ -23,7 +23,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from . import sdf_net, blending_net, variance
+from . import core, sdf_net, blending_net, variance
 from ..ops import (trilinear_sample_3d, PackedVolume, resize_bilinear_2d)
 from ..ops import sparse as sp
 from ..ops.feature_lookup import lookup_feature, lookup_feature_fused, fuse_pyramid
@@ -354,6 +354,11 @@ def render(key, params, static, rays_o, rays_d, near, far, matching_volume,
            stages, features, match_features, imgs, intrs, c2ws,
            cos_anneal_ratio=1.0, step=None, warp_feats=None, occ=None,
            fused_colors=None):
+    # fold weight-norm (v, g) -> w once per render: the SDF MLP is
+    # re-evaluated per up-sample step and per lax.map chunk under
+    # forward-over-reverse AD, and the per-call re-normalization (plus its
+    # jvp/transpose graphs) is pure repeated work (PERF_NOTES round-5 #1)
+    params = core.materialize_weight_norm(params)
     if near.shape[0] == 1:
         near = jnp.broadcast_to(near, (rays_o.shape[0], 1))
         far = jnp.broadcast_to(far, (rays_o.shape[0], 1))

@@ -240,18 +240,108 @@ def _pack_jit(flat, res):
     return packed.reshape(8 * C, r1 ** 3)
 
 
-def pack_stages(stages, max_bytes=750 * 2 ** 20):
+def pack_stages(stages, max_bytes=750 * 2 ** 20, max_bytes_yz=0):
     """Corner-pack every DenseStorage stage whose packed copy fits in
     ``max_bytes`` (the coarse stages; 176^3 x 7ch bf16 packs to 621 MB,
-    352^3 would be 4.9 GB).  stages: [(grid, storage), ...]."""
+    352^3 would be 4.9 GB).  Stages too big for the full 8-corner pack
+    fall back to the yz 4-corner pack (2 gathers/sample, half the memory —
+    352^3 x 7ch bf16 is 2.45 GB) when that fits ``max_bytes_yz``
+    (0 = disabled; PERF_NOTES round-5 #2).  stages: [(grid, storage), ...]."""
     out = []
     for g, s in stages:
         if isinstance(s, DenseStorage):
-            packed_bytes = 8 * s.C * (s.res + 1) ** 3 * s.flat.dtype.itemsize
+            itemsize = s.flat.dtype.itemsize
+            packed_bytes = 8 * s.C * (s.res + 1) ** 3 * itemsize
+            yz_bytes = 4 * s.C * s.res * (s.res + 1) ** 2 * itemsize
             if packed_bytes <= max_bytes:
                 s = pack_storage(s)
+            elif yz_bytes <= max_bytes_yz:
+                s = pack_storage_yz(s)
         out.append((g, s))
     return out
+
+
+@jax.tree_util.register_pytree_node_class
+class PackedStorageYZ:
+    """yz-corner-packed ``DenseStorage``: flat (4C, res*(res+1)^2)
+    channel-major, where row (x, j+1, k+1) holds the 2x2 yz window of
+    voxel column x whose floor cell is (j, k), edge-padded in y/z for
+    clamped-border semantics.  A trilinear sample gathers TWO rows (the
+    x0 and x1 planes) instead of 8 — half the memory of the full
+    8-corner ``PackedStorage`` for stages where that pack doesn't fit
+    (PERF_NOTES round-5 #2).  Value/∂pts path only, like PackedStorage."""
+
+    def __init__(self, flat, res):
+        self.flat = flat          # (4C, res*(res+1)**2)
+        self.res = int(res)
+
+    def tree_flatten(self):
+        return (self.flat,), self.res
+
+    @classmethod
+    def tree_unflatten(cls, res, children):
+        obj = cls.__new__(cls)
+        obj.flat = children[0]
+        obj.res = res
+        return obj
+
+    @property
+    def C(self):
+        return self.flat.shape[0] // 4
+
+
+def pack_storage_yz(storage: "DenseStorage") -> "PackedStorageYZ":
+    """DenseStorage (C, res^3) -> PackedStorageYZ (4C, res*(res+1)^2)."""
+    return PackedStorageYZ(_pack_yz_jit(storage.flat, storage.res),
+                           storage.res)
+
+
+@_partial(jax.jit, static_argnums=(1,))
+def _pack_yz_jit(flat, res):
+    C = flat.shape[0]
+    vol = flat.reshape(C, res, res, res)
+    p = jnp.pad(vol, ((0, 0), (0, 0), (1, 1), (1, 1)), mode="edge")
+    r1 = res + 1
+    # yz corner order k = oy*2 + oz, matching packed_trilinear's low bits
+    packed = jnp.concatenate(
+        [p[:, :, oy:r1 + oy, oz:r1 + oz] for oy in (0, 1) for oz in (0, 1)],
+        axis=0)
+    return packed.reshape(4 * C, res * r1 * r1)
+
+
+def packed_trilinear_yz(ps: "PackedStorageYZ", pts):
+    """Trilinear lookup from a PackedStorageYZ; numerically equal to
+    ``dense_trilinear`` of the unpacked volume (clamped borders), two
+    column gathers per sample.  Differentiable w.r.t. ``pts`` only."""
+    res = ps.res
+    r1 = res + 1
+    flat = ps.flat
+    C = flat.shape[0] // 4
+    shape = pts.shape[:-1]
+    p = pts.reshape(-1, 3)
+    coords = (p + 1.0) * 0.5 * (res - 1)
+    c0 = jnp.floor(coords)
+    frac = coords - c0
+    c0i = c0.astype(jnp.int32)
+    fx, fy, fz = frac[:, 0], frac[:, 1], frac[:, 2]
+    gx, gy, gz = 1.0 - fx, 1.0 - fy, 1.0 - fz
+    # x corners clamp independently (the unpacked axis); the yz cell
+    # clamps to [-1, res-1] like the full pack (edge padding covers it)
+    x0 = jnp.clip(c0i[:, 0], 0, res - 1)
+    x1 = jnp.clip(c0i[:, 0] + 1, 0, res - 1)
+    cyz = jnp.clip(c0i[:, 1:], -1, res - 1) + 1
+    base = cyz[:, 0] * r1 + cyz[:, 1]
+    g0 = _gather_columns(flat, x0 * (r1 * r1) + base)  # (n, 4C)
+    g1 = _gather_columns(flat, x1 * (r1 * r1) + base)
+    out = None
+    for k in range(4):
+        oy, oz = (k >> 1) & 1, k & 1
+        wyz = (fy if oy else gy) * (fz if oz else gz)
+        v0 = jax.lax.slice_in_dim(g0, k * C, (k + 1) * C, axis=1)
+        v1 = jax.lax.slice_in_dim(g1, k * C, (k + 1) * C, axis=1)
+        term = (v0 * (gx * wyz)[:, None] + v1 * (fx * wyz)[:, None])
+        out = term if out is None else out + term
+    return out.reshape(*shape, C)
 
 
 def packed_trilinear(ps: "PackedStorage", pts):
@@ -351,6 +441,8 @@ def sparse_trilinear(grid: VoxelGrid, storage, pts):
     """
     if isinstance(storage, PackedStorage):
         return packed_trilinear(storage, pts)
+    if isinstance(storage, PackedStorageYZ):
+        return packed_trilinear_yz(storage, pts)
     if isinstance(storage, DenseStorage):
         # inactive voxels hold zero columns — same semantics as the
         # valid-gated sparse gather, in one independent gather per corner

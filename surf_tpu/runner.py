@@ -478,7 +478,10 @@ class Runner:
         (implicit_surface.py:337-357; see geometry/extract.py).  With >1
         device the lattice points are sharded over the ray mesh."""
         from .geometry import extract_geometry
-        return extract_geometry(self._sdf_grid_jit(), params, stages,
+        from .nn.core import materialize_weight_norm
+        # fold weight-norm once for the whole lattice sweep, not per block
+        return extract_geometry(self._sdf_grid_jit(),
+                                materialize_weight_norm(params), stages,
                                 resolution, block=block, occ=occ,
                                 ray_mesh=self._ray_mesh())
 
@@ -680,22 +683,31 @@ class Runner:
     # ------------------------------------------------------------------
     def _init_volumes(self):
         """One no-grad cascade pass -> trainable volume pytree
-        (surf.py:65-78, runner.py:88-91)."""
-        ipts = to_device(self.finetune_dataset.get_all_images())
-        self.key, k = jax.random.split(self.key)
-        features = feature_net.apply(self.params["feature_network"], ipts["imgs"])
-        _, stages, matching_volume, _ = surf.build_volumes(
-            k, self.params, self.state, self.static, ipts, features,
-            perturb=False, training=False)
-        self.vol_state = {
-            "volumes": [jax.lax.stop_gradient(st) for _, st in stages],
-            "grids": [g for g, _ in stages],
-            "matching_volume": jax.lax.stop_gradient(matching_volume),
-            "features": [jax.lax.stop_gradient(f) for f in features],
-        }
-        self.vol_state["stages"] = [
-            (g, v) for g, v in zip(self.vol_state["grids"], self.vol_state["volumes"])]
-        self.has_vol = True
+        (surf.py:65-78, runner.py:88-91).
+
+        Skipped when ``--load_vol`` already restored a volume-only finetune
+        checkpoint: rebuilding would run the cascade over feature-network
+        weights that a volume-only checkpoint does not carry, clobbering the
+        finetuned volumes (reference semantics: load_vol resumes the cached
+        volumes as-is, runner.py:320-329)."""
+        if not self.has_vol:
+            ipts = to_device(self.finetune_dataset.get_all_images())
+            self.key, k = jax.random.split(self.key)
+            features = feature_net.apply(self.params["feature_network"],
+                                         ipts["imgs"])
+            _, stages, matching_volume, _ = surf.build_volumes(
+                k, self.params, self.state, self.static, ipts, features,
+                perturb=False, training=False)
+            self.vol_state = {
+                "volumes": [jax.lax.stop_gradient(st) for _, st in stages],
+                "grids": [g for g, _ in stages],
+                "matching_volume": jax.lax.stop_gradient(matching_volume),
+                "features": [jax.lax.stop_gradient(f) for f in features],
+            }
+            self.vol_state["stages"] = [
+                (g, v) for g, v in zip(self.vol_state["grids"],
+                                       self.vol_state["volumes"])]
+            self.has_vol = True
         # finetune optimizer: implicit-surface MLPs + per-stage volume LRs
         vol_lrs = [float(v) for v in self.lr_conf.get("vol_lr",
                                                       [1e-1, 1e-2, 1e-2, 1e-3])]
@@ -719,7 +731,7 @@ class Runner:
 
         self.ft_optimizer = optax.multi_transform(transforms, label_fn)
         self.ft_params = {"implicit_surface": self.params["implicit_surface"],
-                          "volumes": self.vol_state["volumes"]}
+                          "volumes": list(self.vol_state["volumes"])}
         self.ft_opt_state = self.ft_optimizer.init(self.ft_params)
 
     def _finetune_step_fn(self):

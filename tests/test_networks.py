@@ -256,3 +256,36 @@ def test_neus_core_golden():
                                atol=1e-4, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(sdf_depth_j), sdf_depth_t.numpy(),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_weight_norm_materialize_matches_and_grads_flow():
+    """materialize_weight_norm folds (v, g) -> w with identical outputs,
+    and gradients w.r.t. the ORIGINAL (v, g) params taken through the fold
+    match direct weight-norm autodiff (PERF_NOTES round-5 #1 hoist)."""
+    from surf_tpu.nn.core import materialize_weight_norm
+    conf = tiny_conf()
+    params, static = sdf_net.init(jax.random.PRNGKey(3),
+                                  conf["model.implicit_surface.sdf_network"])
+    stages = empty_stages(conf)
+    pts = jnp.asarray(np.random.RandomState(0).randn(64, 3) * 0.4,
+                      jnp.float32)
+
+    out_direct = sdf_net.apply(params, static, pts, stages)
+    out_folded = sdf_net.apply(materialize_weight_norm(params), static,
+                               pts, stages)
+    np.testing.assert_allclose(np.asarray(out_direct),
+                               np.asarray(out_folded), rtol=1e-6, atol=1e-6)
+
+    def loss_direct(p):
+        return sdf_net.apply(p, static, pts, stages)[:, 0].sum()
+
+    def loss_folded(p):
+        return sdf_net.apply(materialize_weight_norm(p), static, pts,
+                             stages)[:, 0].sum()
+
+    g_direct = jax.grad(loss_direct)(params)
+    g_folded = jax.grad(loss_folded)(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_direct),
+                    jax.tree_util.tree_leaves(g_folded)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

@@ -110,3 +110,29 @@ def test_finetune(conf_path, tmp_path):
     assert r2.has_vol
     assert len(r2.vol_state["stages"]) == len(r2.vol_state["volumes"])
     assert hasattr(r2.vol_state["grids"][0], "parent_table")
+
+    # finetune-mode --load_vol resume: the restored volumes MUST survive
+    # _init_volumes (a volume-only ckpt has no feature-net weights to
+    # rebuild from; reference load_vol semantics, runner.py:320-329) and
+    # further finetune steps must run on them
+    args3 = make_args(tmp_path, "finetune", conf_path)
+    args3.resume = ft_ckpt
+    args3.load_vol = True
+    args3.scene = "syn0"
+    args3.ref_view = 0
+    r3 = Runner(args3)
+    saved_vols = jax_tree_leaves_np(runner.ft_params["volumes"])
+    resumed_vols = jax_tree_leaves_np(r3.ft_params["volumes"])
+    assert len(saved_vols) == len(resumed_vols)
+    for a, b in zip(saved_vols, resumed_vols):
+        np.testing.assert_allclose(a, b, rtol=0, atol=0)
+    r3.epochs = 1
+    r3.save_freq = 1000
+    r3.val_freq = 1000
+    r3.conf["train"]["val_before_finetune"] = False
+    r3.finetune()
+
+
+def jax_tree_leaves_np(tree):
+    import jax
+    return [np.asarray(x) for x in jax.tree_util.tree_leaves(tree)]

@@ -257,3 +257,50 @@ def test_pack_stages_gating():
     out = sp.pack_stages([(g1, d1), (g2, d2)], max_bytes=budget)
     assert isinstance(out[0][1], sp.PackedStorage)
     assert isinstance(out[1][1], sp.DenseStorage)
+
+
+def test_packed_yz_trilinear_matches_dense():
+    """yz 4-corner pack == dense lookup everywhere (clamped borders, fully
+    out-of-range points); ∂pts to 2nd order (jvp-over-grad, the render's
+    eikonal form) must also agree.  PERF_NOTES round-5 #2."""
+    grid, storage = random_grid(res=16, p_keep=0.5)
+    dense = sp.densify_storage(grid, storage, dtype=None)
+    packed = sp.pack_storage_yz(dense)
+    assert packed.flat.shape == (4 * dense.C,
+                                 dense.res * (dense.res + 1) ** 2)
+    pts = jnp.asarray(RNG.uniform(-1.6, 1.6, (800, 3)).astype(np.float32))
+    ref = np.asarray(sp.dense_trilinear(dense, pts))
+    out = np.asarray(sp.packed_trilinear_yz(packed, pts))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+    out2 = np.asarray(sp.sparse_trilinear(grid, packed, pts))
+    np.testing.assert_allclose(out2, ref, rtol=1e-5, atol=1e-5)
+
+    def s_dense(p):
+        return sp.dense_trilinear(dense, p).sum()
+
+    def s_packed(p):
+        return sp.packed_trilinear_yz(packed, p).sum()
+
+    g_ref, h_ref = jax.jvp(jax.grad(s_dense), (pts,), (jnp.ones_like(pts),))
+    g_out, h_out = jax.jvp(jax.grad(s_packed), (pts,), (jnp.ones_like(pts),))
+    np.testing.assert_allclose(np.asarray(g_out), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h_out), np.asarray(h_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pack_stages_yz_fallback():
+    """Stages too big for the full pack take the yz pack when its budget
+    allows; with max_bytes_yz=0 (default) behavior is unchanged."""
+    g1, s1 = random_grid(res=8, p_keep=0.6)
+    g2, s2 = random_grid(res=16, p_keep=0.4)
+    d1 = sp.densify_storage(g1, s1, dtype=None)
+    d2 = sp.densify_storage(g2, s2, dtype=None)
+    budget = 8 * d1.C * (d1.res + 1) ** 3 * 4  # exactly stage 1's bytes
+    out = sp.pack_stages([(g1, d1), (g2, d2)], max_bytes=budget)
+    assert isinstance(out[1][1], sp.DenseStorage)
+    yz_budget = 4 * d2.C * d2.res * (d2.res + 1) ** 2 * 4
+    out2 = sp.pack_stages([(g1, d1), (g2, d2)], max_bytes=budget,
+                          max_bytes_yz=yz_budget)
+    assert isinstance(out2[0][1], sp.PackedStorage)
+    assert isinstance(out2[1][1], sp.PackedStorageYZ)
