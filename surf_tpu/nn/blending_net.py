@@ -55,18 +55,29 @@ def _seq(layers, x, final_act=None):
     return x
 
 
-def apply(params, static, rgb_feat, ray_diff, mask):
+def apply(params, static, rgb_feat, ray_diff, mask, compute_dtype=None):
     """
     rgb_feat: (n, n_srcs, 3 + c)  — RGB first, then warped features
     ray_diff: (n, n_srcs, 4)
     mask:     (n, n_srcs) bool
+    compute_dtype: optional (e.g. bfloat16) — run the blending MLPs in this
+      dtype (value-only render paths; the blended output is cast back).
+      The blend is a softmax-weighted mean of ORIGINAL-dtype source RGBs,
+      so only the blend weights see the reduced precision.
     returns blended rgb (n, 3)
     """
+    out_dtype = rgb_feat.dtype
+    rgb_in = rgb_feat[..., :3]
+    if compute_dtype is not None:
+        params = jax.tree.map(
+            lambda x: x.astype(compute_dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+        rgb_feat = rgb_feat.astype(compute_dtype)
+        ray_diff = ray_diff.astype(compute_dtype)
     m = mask[..., None].astype(rgb_feat.dtype)
     num_views = rgb_feat.shape[1]
 
     direction_feat = _seq(params["ray_dir_fc"], ray_diff, final_act="elu_all")
-    rgb_in = rgb_feat[..., :3]
     rgb_feat = rgb_feat + direction_feat
 
     if static["anti_alias_pooling"]:
@@ -95,5 +106,5 @@ def apply(params, static, rgb_feat, ray_diff, mask):
     x = jnp.concatenate([x, vis, ray_diff], axis=-1)
     x = _seq(params["rgb_fc"], x)
     x = jnp.where(m == 0, -1e9, x)
-    blending_weights = jax.nn.softmax(x, axis=1)
+    blending_weights = jax.nn.softmax(x, axis=1).astype(out_dtype)
     return jnp.sum(rgb_in * blending_weights, axis=1)

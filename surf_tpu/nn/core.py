@@ -119,7 +119,9 @@ def materialize_weight_norm(tree):
                 out["b"] = tree["b"]
             return out
         return {k: materialize_weight_norm(x) for k, x in tree.items()}
-    if isinstance(tree, (list, tuple)) and not hasattr(tree, "_fields"):
+    if isinstance(tree, (list, tuple)):
+        if hasattr(tree, "_fields"):  # NamedTuple: rebuild field-wise
+            return type(tree)(*(materialize_weight_norm(x) for x in tree))
         return type(tree)(materialize_weight_norm(x) for x in tree)
     return tree
 

@@ -26,7 +26,9 @@ import jax.numpy as jnp
 from . import core, sdf_net, blending_net, variance
 from ..ops import (trilinear_sample_3d, PackedVolume, resize_bilinear_2d)
 from ..ops import sparse as sp
-from ..ops.feature_lookup import lookup_feature, lookup_feature_fused, fuse_pyramid
+from ..ops.feature_lookup import (lookup_feature, lookup_feature_fused,
+                                  lookup_feature_packed, fuse_pyramid,
+                                  PackedPyramid)
 from ..ops.homography import surface_patch_warp
 
 
@@ -51,6 +53,11 @@ def init(key, conf):
         # disable for bit-exact parity with the reference's per-level
         # sampling when validating converted checkpoints)
         "fused_pyramid": conf.get_bool("render.fused_pyramid", default=True),
+        # run the IBRNet blending MLPs in this dtype (e.g. "bfloat16") —
+        # only the softmax blend WEIGHTS see reduced precision; source RGBs
+        # stay full precision.  None = full precision (default; training
+        # and converted-checkpoint parity paths)
+        "color_dtype": conf.get_string("render.color_dtype", default=None),
         # point-chunk size for the fused SDF value+gradients pass (bounds
         # the batch AD residuals; see sdf_net.value_features_grads).  With
         # channel-major dense lookups the unchunked graph overlaps phases
@@ -270,14 +277,20 @@ def render_core(key, params, static, rays_o, rays_d, z_vals, sample_dist,
     smooth = smooth_all * vmask_f[:, None]
 
     # cross-view blended color
-    if fused_colors is not None:
+    if isinstance(fused_colors, PackedPyramid):
+        hw_levels = [f.shape[1:3] for f in features]
+        rgb_feat, ray_diff, src_mask = lookup_feature_packed(
+            pts, fused_colors, intrs, c2ws, hw_levels,
+            out_dtype=pts.dtype)
+    elif fused_colors is not None:
         hw_levels = [f.shape[1:3] for f in features]
         rgb_feat, ray_diff, src_mask = lookup_feature_fused(
             pts, fused_colors, intrs, c2ws, hw_levels)
     else:
         rgb_feat, ray_diff, src_mask = lookup_feature(pts, imgs, intrs, c2ws, features)
     sampled_color = blending_net.apply(params["color_network"], static["blend"],
-                                       rgb_feat, ray_diff, src_mask)
+                                       rgb_feat, ray_diff, src_mask,
+                                       compute_dtype=static.get("color_dtype"))
     sampled_color = (sampled_color * vmask_f[:, None]).reshape(nr, ns, 3)
     # ray validity: >=8 samples seen by >1 source view (lines 122-124)
     src_seen = jax.lax.stop_gradient(

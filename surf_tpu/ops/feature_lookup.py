@@ -12,7 +12,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .grid_sample import bilinear_sample_2d
+from .grid_sample import (bilinear_sample_2d, bilinear_sample_packed,
+                          pack_bilinear_corners)
 from .projection import project_points_all, pixel_to_normalized, compute_ray_diff
 
 
@@ -78,6 +79,68 @@ def fuse_pyramid(imgs, features):
     for f in features[1:]:
         ups.append(jax.vmap(lambda m: resize_bilinear_2d(m, hw))(f))
     return jnp.concatenate(ups, axis=-1)          # (nv, H, W, 3 + c*L)
+
+
+@jax.tree_util.register_pytree_node_class
+class PackedPyramid:
+    """Corner-packed fused pyramid for the SOURCE views: ``packed`` is
+    (nsrc, H+1, W+1, 4C) from ``pack_bilinear_corners`` over each source
+    view's fused (RGB + upsampled features) map.  One row gather fetches a
+    bilinear sample's whole 2x2 footprint (4x fewer gather descriptors in
+    the render color path — PERF_NOTES gather cost model: cost is per ROW).
+    ``hw`` is static (pytree aux) so jitted consumers see Python ints."""
+
+    def __init__(self, packed, hw):
+        self.packed = packed
+        self.hw = tuple(hw)
+
+    def tree_flatten(self):
+        return (self.packed,), self.hw
+
+    @classmethod
+    def tree_unflatten(cls, hw, children):
+        return cls(children[0], hw)
+
+
+def pack_fused(fused, dtype=None):
+    """(nv, H, W, C) fused pyramid -> PackedPyramid over views 1..nv-1 (the
+    reference view is never color-sampled).  ``dtype`` (e.g. bfloat16)
+    halves the packed table; the lerp output is cast back to fused.dtype."""
+    src = fused[1:]
+    if dtype is not None:
+        src = src.astype(dtype)
+    packed = jax.vmap(pack_bilinear_corners)(src)
+    return PackedPyramid(packed, tuple(fused.shape[1:3]))
+
+
+def lookup_feature_packed(pts, pp, intrs, c2ws, hw_levels, out_dtype=None):
+    """``lookup_feature_fused`` over a PackedPyramid: numerically equal to
+    the unpacked form (up to the packed table's dtype) with one gather per
+    (source view, point)."""
+    src_intrs = intrs[1:]
+    src_c2ws = c2ws[1:]
+    h, w = pp.hw
+
+    ray_diff = compute_ray_diff(pts, c2ws[0], src_c2ws)
+
+    xy, depth = project_points_all(pts, src_intrs, src_c2ws)   # (s, n, ...)
+    xy = jax.lax.stop_gradient(xy)
+    depth = jax.lax.stop_gradient(depth)
+    grid = pixel_to_normalized(xy, (h, w))
+    warped = jax.vmap(
+        lambda f, g: bilinear_sample_packed(f, g, (h, w), align_corners=False)
+    )(pp.packed, grid)                                          # (s, n, C)
+    if out_dtype is not None:
+        warped = warped.astype(out_dtype)
+    rgb_feat = jnp.transpose(warped, (1, 0, 2))
+
+    mask = depth > 0
+    for i, (hi, wi) in enumerate(hw_levels):
+        sc = 0.5 ** i
+        xi = xy[..., 0] * sc
+        yi = xy[..., 1] * sc
+        mask = mask & (xi >= 0) & (xi < wi) & (yi >= 0) & (yi < hi)
+    return rgb_feat, ray_diff, jnp.transpose(mask, (1, 0))
 
 
 def lookup_feature_fused(pts, fused, intrs, c2ws, hw_levels):

@@ -688,8 +688,10 @@ class Runner:
         Skipped when ``--load_vol`` already restored a volume-only finetune
         checkpoint: rebuilding would run the cascade over feature-network
         weights that a volume-only checkpoint does not carry, clobbering the
-        finetuned volumes (reference semantics: load_vol resumes the cached
-        volumes as-is, runner.py:320-329)."""
+        finetuned volumes.  This deliberately diverges from (fixes) the
+        reference, which calls ``model.init_volumes`` unconditionally after
+        ``load_params_vol`` (reference runner.py:91) and would clobber a
+        --load_vol finetune resume there too."""
         if not self.has_vol:
             ipts = to_device(self.finetune_dataset.get_all_images())
             self.key, k = jax.random.split(self.key)

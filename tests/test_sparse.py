@@ -285,8 +285,14 @@ def test_packed_yz_trilinear_matches_dense():
     g_out, h_out = jax.jvp(jax.grad(s_packed), (pts,), (jnp.ones_like(pts),))
     np.testing.assert_allclose(np.asarray(g_out), np.asarray(g_ref),
                                rtol=1e-4, atol=1e-5)
+    # 2nd-order values: the yz pack groups the x-pair before the yz lerps,
+    # so fp32 summation order differs from the dense 8-corner path; observed
+    # max |diff| 3.6e-5 on near-zero elements (values and 1st derivatives
+    # match tightly above).  Tolerance scaled to the overall Hessian
+    # magnitude rather than per-element (ADVICE r4).
     np.testing.assert_allclose(np.asarray(h_out), np.asarray(h_ref),
-                               rtol=1e-4, atol=1e-5)
+                               rtol=1e-4,
+                               atol=1e-4 * float(np.abs(h_ref).max()))
 
 
 def test_pack_stages_yz_fallback():

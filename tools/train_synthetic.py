@@ -79,6 +79,10 @@ def main():
     parser.add_argument("--log_jsonl", type=str, default=None,
                         help="write one JSON line per step (time, loss, "
                              "psnr) for step-time histograms")
+    parser.add_argument("--mem_stats", action="store_true",
+                        help="print device memory stats (bytes in use, peak, "
+                             "largest free block) after every step — OOM "
+                             "forensics at the full protocol")
     parser.add_argument("--save_ckpt", type=str, default=None,
                         help="save a Runner-compatible checkpoint "
                              "({epoch, model, state}) at the end — feeds "
@@ -260,6 +264,15 @@ def main():
             jax.block_until_ready(res["loss"])
             print(f"compile+step0: {time.time() - t0:.1f}s", flush=True)
             t0 = time.time()
+        if args.mem_stats:
+            jax.block_until_ready(res["loss"])
+            ms = jax.local_devices()[0].memory_stats() or {}
+            gib = 2.0 ** 30
+            print(f"[mem @{step}] in_use={ms.get('bytes_in_use', 0) / gib:.2f}"
+                  f" peak={ms.get('peak_bytes_in_use', 0) / gib:.2f}"
+                  f" largest_free={ms.get('largest_free_block_bytes', 0) / gib:.2f}"
+                  f" limit={ms.get('bytes_limit', 0) / gib:.2f} GiB",
+                  flush=True)
         if logf is not None:
             jax.block_until_ready(res["loss"])
             dt_step = time.time() - t_step
