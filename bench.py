@@ -45,9 +45,11 @@ def _emit(result):
     print(json.dumps(result), flush=True)
 
 
-def protocol_model_text(base_dim, n_stages, match_dtype="bfloat16"):
+def protocol_model_text(base_dim, n_stages, match_dtype="bfloat16",
+                        color_dtype=None):
     """The reference protocol model section (confs/surf.conf semantics:
     4-stage cascade 88^3 -> 704^3, 136 samples/ray) as HOCON text."""
+    color_line = f"color_dtype = {color_dtype}" if color_dtype else ""
     ratios = [1.0, 0.4, 0.1, 0.01][:n_stages]
     n_samples = [64, 32, 24, 16][:n_stages]
     mf_samples = [128, 64, 32, 16][:n_stages]
@@ -87,13 +89,15 @@ def protocol_model_text(base_dim, n_stages, match_dtype="bfloat16"):
                 sample_ranges = [{', '.join(str(r) for r in ratios)}]
                 n_depth = 256
                 perturb = 1.0
+                {color_line}
             }}
         }}
     }}
     """
 
 
-def protocol_conf(n_rays, base_dim, n_stages, img_hw, match_dtype="bfloat16"):
+def protocol_conf(n_rays, base_dim, n_stages, img_hw, match_dtype="bfloat16",
+                  color_dtype=None):
     """protocol model + a synthetic-dataset section, parsed."""
     from surf_tpu.config import ConfigFactory
 
@@ -105,10 +109,11 @@ def protocol_conf(n_rays, base_dim, n_stages, img_hw, match_dtype="bfloat16"):
         n_scenes = 1
         n_views_total = 6
     }}
-    """ + protocol_model_text(base_dim, n_stages, match_dtype))
+    """ + protocol_model_text(base_dim, n_stages, match_dtype, color_dtype))
 
 
-def runner_validate_bench(base_dim, n_stages, img_hw, mesh_res):
+def runner_validate_bench(base_dim, n_stages, img_hw, mesh_res,
+                          color_dtype=None):
     """Time Runner.validate end-to-end (volumes -> mesh -> full-image render
     -> artifact writes) on the synthetic scene — the user-facing validation
     code path (VERDICT r3 #8), at the reference's shipped val settings
@@ -149,7 +154,7 @@ def runner_validate_bench(base_dim, n_stages, img_hw, mesh_res):
                                         [0.25, 0.5, 0.75, 1.0][-n_stages:])}]
         }}
     }}
-    """ + protocol_model_text(base_dim, n_stages)
+    """ + protocol_model_text(base_dim, n_stages, color_dtype=color_dtype)
     conf_path = os.path.join(tempfile.mkdtemp(prefix="bench_conf_"),
                              "bench_val.conf")
     with open(conf_path, "w") as f:
@@ -192,8 +197,12 @@ def main():
                    os.environ.get("BENCH_IMG", "576x800").split("x"))
     n_samples = [64, 32, 24, 16][:n_stages]
 
+    color_dtype = ("bfloat16"
+                   if os.environ.get("BENCH_COLOR_BF16", "1") != "0"
+                   else None)
     conf = protocol_conf(n_rays, base_dim, n_stages, img_hw,
-                         os.environ.get("BENCH_MATCH_DTYPE", "bfloat16"))
+                         os.environ.get("BENCH_MATCH_DTYPE", "bfloat16"),
+                         color_dtype)
 
     ds = SyntheticDataset(conf["ds"], "train")
     batch_np = ds[0]
@@ -286,10 +295,6 @@ def main():
         fused_colors = jax.jit(
             lambda f: pack_fused(f, dtype=jnp.bfloat16))(fused_colors)
         jax.block_until_ready(fused_colors.packed)
-    if os.environ.get("BENCH_COLOR_BF16", "1") != "0":
-        # blending MLPs in bf16 (value-only path; only the softmax blend
-        # weights see reduced precision)
-        static["implicit_surface"]["color_dtype"] = "bfloat16"
 
     # NB: pass volumes/features as ARGUMENTS — closing over multi-hundred-MB
     # device arrays embeds them in the serialized HLO (blows compile limits)
@@ -388,7 +393,8 @@ def main():
         try:
             runner_val_s = runner_validate_bench(
                 base_dim, n_stages, img_hw,
-                int(os.environ.get("BENCH_MESH_RES", 512)))
+                int(os.environ.get("BENCH_MESH_RES", 512)),
+                color_dtype=color_dtype)
         except Exception as e:  # noqa: BLE001 — report the micro bench anyway
             print(f"# runner_validate bench failed: {type(e).__name__}: {e}",
                   file=sys.stderr)

@@ -53,6 +53,14 @@ def init(key, conf):
         # disable for bit-exact parity with the reference's per-level
         # sampling when validating converted checkpoints)
         "fused_pyramid": conf.get_bool("render.fused_pyramid", default=True),
+        # corner-pack the fused pyramid for validation renders: one row
+        # gather per (source view, sample) instead of 4 (value path only;
+        # table dtype below trades a ~1e-2-relative color deviation for
+        # half the table bytes)
+        "packed_pyramid": conf.get_bool("render.packed_pyramid",
+                                        default=True),
+        "packed_pyramid_dtype": conf.get_string(
+            "render.packed_pyramid_dtype", default="bfloat16"),
         # run the IBRNet blending MLPs in this dtype (e.g. "bfloat16") —
         # only the softmax blend WEIGHTS see reduced precision; source RGBs
         # stay full precision.  None = full precision (default; training

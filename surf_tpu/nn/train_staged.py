@@ -85,7 +85,7 @@ def _feat_fns():
 
 
 @functools.lru_cache(maxsize=64)
-def _stage_fns(frozen_static, s, perturb):
+def _stage_fns(frozen_static, s, perturb, last=False):
     static = surf._thaw(frozen_static)
 
     @jax.jit
@@ -99,15 +99,24 @@ def _stage_fns(frozen_static, s, perturb):
     # donate every consumed buffer (the stage grid/sel, the saved carry, both
     # cotangent trees): the backward loop runs at full HBM occupancy and the
     # orchestrator never touches these arguments again
-    @partial(jax.jit, donate_argnums=(5, 6, 7, 8, 9))
+    @partial(jax.jit,
+             donate_argnums=(5, 6, 7, 8) if last else (5, 6, 7, 8, 9))
     def bwd(params, reg_state_s, ipts, features, key_s, grid_s, sel_s,
-            rest_in, cot_rest_out, cot_stage_out):
+            rest_in, *cots):
         """Recompute the DIFFERENTIABLE stage body (given the forward's
         output grid + compaction indices — the depth-filter geometry is
-        never re-run) and pull (cot_rest_out, cot_stage_out) back to
-        (d params, d rest_in, d features).  rest_in of stage 0 is all-None
-        (no differentiable carry)."""
+        never re-run) and pull the cotangents back to (d params, d rest_in,
+        d features).  rest_in of stage 0 is all-None (no differentiable
+        carry).  With ``last``, the stage's own carry outputs (mid, depths,
+        matching volume) feed nothing differentiable downstream, so their
+        cotangent is identically zero: the bwd graph neither takes the
+        ~0.8 GB zero tree as an input nor differentiates those outputs at
+        all (the step-1 OOM headroom fix, VERDICT r4 #2)."""
         has_carry = rest_in is not None and rest_in[0] is not None
+        if last:
+            (cot_stage_out,) = cots
+        else:
+            cot_rest_out, cot_stage_out = cots
 
         if has_carry:
             def f(p, feats, rest):
@@ -116,20 +125,22 @@ def _stage_fns(frozen_static, s, perturb):
                     p, reg_state_s, static, ipts, feats, key_s, grid_s,
                     sel_s, mid_prev, depths_prev, matching_prev,
                     s=s, perturb=perturb, training=True)
-                return (mid, depths, mv), stage_out
+                return stage_out if last else ((mid, depths, mv), stage_out)
 
             _, vjp = jax.vjp(f, params, features, rest_in)
-            g_params, g_feats, g_rest = vjp((cot_rest_out, cot_stage_out))
+            g_params, g_feats, g_rest = vjp(
+                cot_stage_out if last else (cot_rest_out, cot_stage_out))
         else:
             def f0(p, feats):
                 (g, mid, depths, mv), stage_out, _ = surf._stage_compute(
                     p, reg_state_s, static, ipts, feats, key_s, grid_s,
                     None, None, None, None,
                     s=s, perturb=perturb, training=True)
-                return (mid, depths, mv), stage_out
+                return stage_out if last else ((mid, depths, mv), stage_out)
 
             _, vjp = jax.vjp(f0, params, features)
-            g_params, g_feats = vjp((cot_rest_out, cot_stage_out))
+            g_params, g_feats = vjp(
+                cot_stage_out if last else (cot_rest_out, cot_stage_out))
             g_rest = None
         return g_params, g_feats, g_rest
 
@@ -172,7 +183,10 @@ def _head_fns(frozen_static, frozen_loss_cfg):
                            features, grids, matching_volume, match_features,
                            ipts, key_render, step_f, anneal)
 
-    @jax.jit
+    # storages / depth_outs / matching_volume / match_features are consumed
+    # by the head alone (the stage backwards recompute their own): donating
+    # them frees ~1 GB at protocol scale before the backward loop starts
+    @partial(jax.jit, donate_argnums=(1, 2, 5, 6))
     def fwd_bwd(p_is, storages, depth_outs, features, grids, matching_volume,
                 match_features, ipts, key_render, step_f, anneal):
         grad_fn = jax.value_and_grad(head, argnums=(0, 1, 2, 3), has_aux=True)
@@ -242,7 +256,7 @@ def _feat_fns_dp(mesh):
 
 
 @functools.lru_cache(maxsize=64)
-def _stage_fns_dp(frozen_static, s, perturb, mesh):
+def _stage_fns_dp(frozen_static, s, perturb, mesh, last=False):
     static = surf._thaw(frozen_static)
 
     def fwd_local(params, reg_state_s, ipts, features, keys, grid_in, rest_in,
@@ -273,8 +287,14 @@ def _stage_fns_dp(frozen_static, s, perturb, mesh):
                             out_specs=(P(_AX), P(_AX), P(_AX), P(), P(_AX))))
 
     def bwd_local(params, reg_state_s, ipts, features, keys, grid_s, sel_s,
-                  rest_in, cot_rest_out, cot_stage_out):
+                  rest_in, *cots):
         has_carry = rest_in is not None and rest_in[0] is not None
+        if last:
+            (cot_stage_out,) = cots
+            cot_rest_out = None   # never read: the last-stage vjp pulls
+            # back only stage_out (its carry feeds nothing differentiable)
+        else:
+            cot_rest_out, cot_stage_out = cots
 
         def per_scene(ipts_i, feats_i, key_i, grid_i, sel_i, rest_i,
                       ct_rest_i, ct_so_i):
@@ -285,34 +305,43 @@ def _stage_fns_dp(frozen_static, s, perturb, mesh):
                         p, reg_state_s, static, ipts_i, fe, key_i, grid_i,
                         sel_i, mid_prev, depths_prev, matching_prev,
                         s=s, perturb=perturb, training=True)
-                    return (mid, depths, mv), so
+                    return so if last else ((mid, depths, mv), so)
 
                 _, vjp = jax.vjp(f, params, feats_i, rest_i)
-                gp, gf, gr = vjp((ct_rest_i, ct_so_i))
+                gp, gf, gr = vjp(ct_so_i if last else (ct_rest_i, ct_so_i))
             else:
                 def f0(p, fe):
                     (g, mid, depths, mv), so, _ = surf._stage_compute(
                         p, reg_state_s, static, ipts_i, fe, key_i, grid_i,
                         None, None, None, None,
                         s=s, perturb=perturb, training=True)
-                    return (mid, depths, mv), so
+                    return so if last else ((mid, depths, mv), so)
 
                 _, vjp = jax.vjp(f0, params, feats_i)
-                gp, gf = vjp((ct_rest_i, ct_so_i))
+                gp, gf = vjp(ct_so_i if last else (ct_rest_i, ct_so_i))
                 gr = None
             return gp, gf, gr
 
-        g_params, g_feats, g_rest = jax.vmap(per_scene)(
-            ipts, features, keys, grid_s, sel_s, rest_in, cot_rest_out,
-            cot_stage_out)
+        if last:
+            def per_scene_last(ipts_i, feats_i, key_i, grid_i, sel_i,
+                               rest_i, ct_so_i):
+                return per_scene(ipts_i, feats_i, key_i, grid_i, sel_i,
+                                 rest_i, None, ct_so_i)
+
+            g_params, g_feats, g_rest = jax.vmap(per_scene_last)(
+                ipts, features, keys, grid_s, sel_s, rest_in, cot_stage_out)
+        else:
+            g_params, g_feats, g_rest = jax.vmap(per_scene)(
+                ipts, features, keys, grid_s, sel_s, rest_in, cot_rest_out,
+                cot_stage_out)
         g_params = _sum_scenes_tree(g_params)
         return g_params, g_feats, g_rest
 
-    in_sp_b = (P(), P(), P(_AX), P(_AX), P(_AX), P(_AX), P(_AX), P(_AX),
-               P(_AX), P(_AX))
+    n_in = 9 if last else 10
+    in_sp_b = (P(), P()) + (P(_AX),) * (n_in - 2)
     bwd = jax.jit(shard_map(bwd_local, mesh=mesh, in_specs=in_sp_b,
                             out_specs=(P(), P(_AX), P(_AX))),
-                  donate_argnums=(5, 6, 7, 8, 9))
+                  donate_argnums=(5, 6, 7, 8) if last else (5, 6, 7, 8, 9))
     return fwd, bwd
 
 
@@ -353,7 +382,8 @@ def _head_fns_dp(frozen_static, frozen_loss_cfg, mesh):
              P(_AX), P(_AX), P(), P())
     return jax.jit(shard_map(
         local, mesh=mesh, in_specs=in_sp,
-        out_specs=(P(), P(), P(), P(_AX), P(_AX), P(_AX))))
+        out_specs=(P(), P(), P(), P(_AX), P(_AX), P(_AX))),
+        donate_argnums=(1, 2, 5, 6))
 
 
 # ---------------------------------------------------------------------------
@@ -385,7 +415,12 @@ def value_and_grad_staged(params, state, static, loss_cfg, batch, key,
             t = time.time()
             dt = t - tick.t0
             tick.t0 = t
-            print(f"  [staged] {label:>12s}: {dt:7.2f} s", flush=True)
+            ms = jax.local_devices()[0].memory_stats() or {}
+            gib = 2.0 ** 30
+            print(f"  [staged] {label:>12s}: {dt:7.2f} s"
+                  f"  in_use={ms.get('bytes_in_use', 0) / gib:5.2f}"
+                  f" peak={ms.get('peak_bytes_in_use', 0) / gib:5.2f} GiB",
+                  flush=True)
         return out
     tick.t0 = time.time()
 
@@ -460,16 +495,21 @@ def value_and_grad_staged(params, state, static, loss_cfg, batch, key,
     grads = _zeros_like_tree(params)
     grads["implicit_surface"] = g_is
     cot_features = list(g_feats)
-    # final carry (mid, depths, matching_volume) is consumed by nothing
-    # differentiable downstream (z-val surface localization stops gradients)
-    cot_rest = _zeros_like_tree(rest)
+    # the final carry (mid, depths, matching_volume) is consumed by nothing
+    # differentiable downstream (z-val surface localization stops
+    # gradients): the LAST stage's bwd graph takes no carry cotangent at
+    # all instead of a materialized ~0.8 GB zero tree (step-1 OOM headroom)
+    cot_rest = None
 
     # free forward products the backward no longer needs: the stage loop
-    # runs near full HBM occupancy at the 704^3 protocol
+    # runs near full HBM occupancy at the 704^3 protocol.  storages /
+    # depth_outs / matching_volume / match_features were DONATED to the
+    # head graph above (their buffers are already freed on device).
     del rest, stage_outs, depth_outs, g_feats, matching_volume
-    del match_features
+    del match_features, storages
 
     for s in reversed(range(num_stage)):
+        last = s == num_stage - 1
         cot_stage_out = {
             "storage": g_storages[s],
             "depth": g_depth_outs.pop(f"depth_stage{s}"),
@@ -477,14 +517,15 @@ def value_and_grad_staged(params, state, static, loss_cfg, batch, key,
             "occ_reg": g_depth_outs.pop(f"occ_reg_stage{s}"),
         }
         g_storages[s] = None
-        storages[s] = None
         if dp:
-            _, bwd = _stage_fns_dp(frozen_static, s, perturb, mesh)
+            _, bwd = _stage_fns_dp(frozen_static, s, perturb, mesh,
+                                   last=last)
         else:
-            _, bwd = _stage_fns(frozen_static, s, perturb)
+            _, bwd = _stage_fns(frozen_static, s, perturb, last=last)
+        cots = (cot_stage_out,) if last else (cot_rest, cot_stage_out)
         g_params_s, g_feats_s, cot_rest = bwd(
             params, state["reg_network"][s], batch, features, keys[s],
-            grids[s], sels[s], rests_in[s], cot_rest, cot_stage_out)
+            grids[s], sels[s], rests_in[s], *cots)
         tick(f"bwd stage {s}", cot_rest if cot_rest is not None else g_params_s)
         # drop this stage's saved inputs before the next (coarser) bwd
         grids[s] = None
@@ -511,7 +552,10 @@ def make_staged_train_step(optimizer, static, loss_cfg, mesh=None):
 
     import optax
 
-    @jax.jit
+    # params / grads / opt_state are all consumed (the orchestrator rebinds
+    # params and opt_state to the outputs): donating aliases the update
+    # in-place instead of holding two copies across the step boundary
+    @partial(jax.jit, donate_argnums=(1, 2))
     def opt_step(params, grads, opt_state):
         updates, new_opt = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), new_opt

@@ -492,9 +492,14 @@ class Runner:
         # not per ray chunk
         warp_feats = implicit_surface.prepare_patch_features(features, None, None)
         fused_colors = None
-        if self.static["implicit_surface"].get("fused_pyramid", False):
-            from .ops.feature_lookup import fuse_pyramid
+        isf = self.static["implicit_surface"]
+        if isf.get("fused_pyramid", False):
+            from .ops.feature_lookup import fuse_pyramid, pack_fused
             fused_colors = jax.jit(fuse_pyramid)(ipts["imgs"], features)
+            if isf.get("packed_pyramid", False):
+                dt = isf.get("packed_pyramid_dtype", "bfloat16")
+                fused_colors = jax.jit(
+                    lambda f: pack_fused(f, dtype=dt))(fused_colors)
         rays_o = np.asarray(ipts["rays_o"])
         rays_d = np.asarray(ipts["rays_d"])
         n = len(rays_o)
