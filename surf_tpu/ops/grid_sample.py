@@ -47,22 +47,31 @@ def _unnormalize(c, size, align_corners):
     return ((c + 1.0) * size - 1.0) * 0.5
 
 
-def _bilinear_tap_geometry(image, xy):
-    """Shared corner/weight math for the bilinear core and its transpose."""
+def _bilinear_corner_geometry(image, xy):
+    """Per-corner indices/weights with the 4 corners UNROLLED.
+
+    Never build (..., 4) / (..., 4, C) tap stacks here: a trailing tap or
+    channel dim < the 128-lane tile pads 16-32x as an HLO temp — at
+    full-image scale (the photometric warp loss differentiates src-image
+    sampling at 480x640 points) those stacks alone pushed the train head
+    graph past HBM (round-5 protocol OOM forensics; same rule as the
+    trilinear core below and PERF_NOTES layout rules)."""
     H, W, C = image.shape
     c0 = jnp.floor(xy)
     frac = xy - c0
     c0i = c0.astype(jnp.int32)
-    corners = c0i[..., None, :] + _CORNER_OFFSETS_2D        # (..., 4, 2) x,y
-    dims = jnp.array([W, H], jnp.int32)
-    valid = jnp.all((corners >= 0) & (corners < dims), axis=-1)
-    cc = jnp.clip(corners, 0, dims - 1)
-    idx = cc[..., 1] * W + cc[..., 0]
-    offs = _CORNER_OFFSETS_2D.astype(image.dtype)
-    w = jnp.prod(jnp.where(offs > 0, frac[..., None, :],
-                           1.0 - frac[..., None, :]),
-                 axis=-1) * valid.astype(image.dtype)
-    return frac, idx, valid, w
+    fx, fy = frac[..., 0], frac[..., 1]
+    corners = []
+    for ox, oy in ((0, 0), (1, 0), (0, 1), (1, 1)):
+        cx = c0i[..., 0] + ox
+        cy = c0i[..., 1] + oy
+        valid = (cx >= 0) & (cx < W) & (cy >= 0) & (cy < H)
+        idx = jnp.clip(cy, 0, H - 1) * W + jnp.clip(cx, 0, W - 1)
+        wx = fx if ox else 1.0 - fx
+        wy = fy if oy else 1.0 - fy
+        w = wx * wy * valid.astype(image.dtype)
+        corners.append((idx, valid, w, ox, oy))
+    return fx, fy, corners
 
 
 @jax.custom_vjp
@@ -76,9 +85,14 @@ def _bilinear_core(image, xy):
     and reproduces XLA's gradients exactly (tests/test_grid_sample.py).
     """
     H, W, C = image.shape
-    frac, idx, valid, w = _bilinear_tap_geometry(image, xy)
-    vals = image.reshape(H * W, C)[idx.reshape(-1)].reshape(*idx.shape, C)
-    return jnp.sum(vals * w[..., None], axis=-2)
+    _, _, corners = _bilinear_corner_geometry(image, xy)
+    flat = image.reshape(H * W, C)
+    out = None
+    for idx, _, w, _, _ in corners:
+        vals = flat[idx.reshape(-1)].reshape(*idx.shape, C)
+        term = vals * w[..., None]
+        out = term if out is None else out + term
+    return out
 
 
 def _bilinear_core_fwd(image, xy):
@@ -88,28 +102,28 @@ def _bilinear_core_fwd(image, xy):
 def _bilinear_core_bwd(res, ct):
     image, xy = res
     H, W, C = image.shape
-    frac, idx, valid, w = _bilinear_tap_geometry(image, xy)
+    fx, fy, corners = _bilinear_corner_geometry(image, xy)
+    flat = image.reshape(H * W, C)
 
-    # d_image: channel-major scatter-add, invalid taps routed to a dump col
-    ctw = ct[..., None, :] * w[..., None]                   # (..., 4, C)
-    col = jnp.where(valid, idx, H * W).reshape(-1)
-    upd = ctw.reshape(-1, C).T                              # (C, N*4)
-    dflat = jnp.zeros((C, H * W + 1), image.dtype).at[:, col].add(
-        upd, mode="drop")
+    # d_image: channel-major scatter-add per corner, invalid taps routed to
+    # a dump column; d_xy via the product rule through frac (corner indices
+    # carry no grad, matching autodiff of the gather formulation)
+    dflat = jnp.zeros((C, H * W + 1), image.dtype)
+    dx = dy = None
+    for idx, valid, w, ox, oy in corners:
+        col = jnp.where(valid, idx, H * W).reshape(-1)
+        ctw = ct * w[..., None]                             # (..., C)
+        dflat = dflat.at[:, col].add(ctw.reshape(-1, C).T, mode="drop")
+        vals = flat[idx.reshape(-1)].reshape(*idx.shape, C)
+        s = jnp.sum(vals * ct, axis=-1)                     # (...,)
+        vf = valid.astype(image.dtype)
+        wx = fx if ox else 1.0 - fx
+        wy = fy if oy else 1.0 - fy
+        tx = s * ((1.0 if ox else -1.0) * vf) * wy
+        ty = s * ((1.0 if oy else -1.0) * vf) * wx
+        dx = tx if dx is None else dx + tx
+        dy = ty if dy is None else dy + ty
     d_image = dflat[:, :H * W].T.reshape(H, W, C)
-
-    # d_xy via the product rule through frac (corner indices carry no grad,
-    # matching autodiff of the gather formulation)
-    vals = image.reshape(H * W, C)[idx.reshape(-1)].reshape(*idx.shape, C)
-    s = jnp.sum(vals * ct[..., None, :], axis=-1)           # (..., 4)
-    offs = _CORNER_OFFSETS_2D.astype(image.dtype)
-    fx, fy = frac[..., None, 0], frac[..., None, 1]
-    wx = jnp.where(offs[:, 0] > 0, fx, 1.0 - fx)
-    wy = jnp.where(offs[:, 1] > 0, fy, 1.0 - fy)
-    sgnx = jnp.where(offs[:, 0] > 0, 1.0, -1.0) * valid.astype(image.dtype)
-    sgny = jnp.where(offs[:, 1] > 0, 1.0, -1.0) * valid.astype(image.dtype)
-    dx = jnp.sum(s * sgnx * wy, axis=-1)
-    dy = jnp.sum(s * sgny * wx, axis=-1)
     return d_image, jnp.stack([dx, dy], axis=-1)
 
 
@@ -213,9 +227,13 @@ def _bsp_bwd(hw, normalized, align_corners, res, ct):
     C4 = packed.shape[-1]
     C = C4 // 4
     gx, gy = 1.0 - fx, 1.0 - fy
-    w4 = jnp.stack([gx * gy, fx * gy, gx * fy, fx * fy], axis=-1)  # (...,4)
-    # d_packed: one channel-major 4C-row scatter per sample
-    ctw = (ct[..., None, :] * w4[..., None]).reshape(*ct.shape[:-1], C4)
+    # d_packed: one channel-major 4C-row scatter per sample.  The per-corner
+    # weights are concatenated along the (static-sliced) channel axis —
+    # never via an (..., 4, C) stack, whose tiny trailing dims pad 16-32x as
+    # HLO temps at filter-path scale (round-5 head-OOM layout rule)
+    ctw = jnp.concatenate(
+        [ct * (w)[..., None] for w in
+         (gx * gy, fx * gy, gx * fy, fx * fy)], axis=-1)     # (..., 4C)
     col = jnp.where(inb, idx, packed.shape[0] * packed.shape[1]).reshape(-1)
     upd = ctw.reshape(-1, C4).T                              # (4C, N)
     n_rows = packed.shape[0] * packed.shape[1]
@@ -223,12 +241,13 @@ def _bsp_bwd(hw, normalized, align_corners, res, ct):
         upd, mode="drop")
     d_packed = dflat[:, :n_rows].T.reshape(packed.shape)
 
-    # d_coords through the weights (corner indices carry no gradient)
+    # d_coords through the weights (corner indices carry no gradient);
+    # corners unrolled into per-corner (N,) scalars, no (..., 4) stacks
     vals = _packed_gather(packed, idx, inb)
-    s = jnp.stack([jnp.sum(vals[..., k * C:(k + 1) * C] * ct, axis=-1)
-                   for k in range(4)], axis=-1)              # (..., 4)
-    dfx = (s[..., 1] - s[..., 0]) * gy + (s[..., 3] - s[..., 2]) * fy
-    dfy = (s[..., 2] - s[..., 0]) * gx + (s[..., 3] - s[..., 1]) * fx
+    s0, s1, s2, s3 = (jnp.sum(vals[..., k * C:(k + 1) * C] * ct, axis=-1)
+                      for k in range(4))
+    dfx = (s1 - s0) * gy + (s3 - s2) * fy
+    dfy = (s2 - s0) * gx + (s3 - s1) * fx
     H, W = hw
     if normalized:
         dfx = dfx * (0.5 * (W - 1) if align_corners else 0.5 * W)

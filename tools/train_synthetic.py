@@ -184,12 +184,16 @@ def main():
         batch = {k: jnp.asarray(v) for k, v in batch_np.items()
                  if not isinstance(v, str)}
         if "build" not in build_jit:
-            @jax.jit
+            feat_fn = jax.jit(feature_net.apply)
+
             def build(p, s, b, k):
-                features = feature_net.apply(p["feature_network"], b["imgs"])
+                # per-stage jits (jit_stages): one monolithic val cascade
+                # graph at the full protocol overwhelms the compiler, and
+                # the per-stage graphs share the bench/Runner compile cache
+                features = feat_fn(p["feature_network"], b["imgs"])
                 _, stages, mv, _ = surf.build_volumes(
                     k, p, s, static, b, features, perturb=False,
-                    training=False)
+                    training=False, jit_stages=True)
                 return stages, mv
 
             @jax.jit
