@@ -296,6 +296,12 @@ def main():
             lambda f: pack_fused(f, dtype=jnp.bfloat16))(fused_colors)
         jax.block_until_ready(fused_colors.packed)
 
+    # fold weight-norm (v, g) -> w ONCE for the whole bench: the render's
+    # forward-over-reverse AD otherwise re-derives the normalization in
+    # every jvp/transpose graph per call (PERF_NOTES round-5 #1)
+    from surf_tpu.nn.core import materialize_weight_norm
+    params = jax.jit(materialize_weight_norm)(params)
+
     # NB: pass volumes/features as ARGUMENTS — closing over multi-hundred-MB
     # device arrays embeds them in the serialized HLO (blows compile limits)
     @jax.jit

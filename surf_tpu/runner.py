@@ -488,6 +488,10 @@ class Runner:
     def render_full_image(self, params, key, ipts, stages, matching_volume,
                           features, match_features, occ=None):
         render = self._render_chunk_jit()
+        # fold weight-norm once for the whole image, not per ray chunk (and
+        # not inside every jvp/transpose graph of the render's 2nd-order AD)
+        from .nn.core import materialize_weight_norm
+        params = materialize_weight_norm(params)
         # per-scene patch features + fused color pyramid computed once,
         # not per ray chunk
         warp_feats = implicit_surface.prepare_patch_features(features, None, None)
