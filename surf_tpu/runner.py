@@ -370,6 +370,12 @@ class Runner:
                         self.params, self.state, self.opt_state, res = dp_step(
                             self.params, self.state, self.opt_state, gb, keys,
                             w, jnp.float32(step_f), jnp.float32(anneal))
+                # sync on the updated params (depends on every backward
+                # graph) before enqueueing the next step: fetching only the
+                # head-graph scalars lets step N's staged backward overlap
+                # step N+1's forwards — two protocol-scale transient sets
+                # exceed HBM (the r4/r5 step-1 RESOURCE_EXHAUSTED)
+                jax.block_until_ready(self.params["implicit_surface"])
                 scalars = tensor2float(res)
                 avg.update(scalars)
                 global_step = batch_idx + epoch * n

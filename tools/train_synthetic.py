@@ -264,6 +264,13 @@ def main():
         t_step = time.time()
         params, state, opt_state, res = train_step(
             params, state, opt_state, batch, k, jnp.float32(step))
+        # Synchronize on the UPDATED params (the opt-step output, which
+        # depends on every backward graph) before enqueueing the next step.
+        # Fetching only the loss syncs just the head graph: the staged
+        # backward of step N then overlaps step N+1's forwards, and at the
+        # 704^3 protocol two steps' transients exceed HBM — the r4/r5
+        # "step 0 fine, step 1 RESOURCE_EXHAUSTED" failure.
+        jax.block_until_ready(params["implicit_surface"])
         if step == 0:
             jax.block_until_ready(res["loss"])
             print(f"compile+step0: {time.time() - t0:.1f}s", flush=True)
