@@ -19,12 +19,9 @@ TIMEOUT=${TIMEOUT:-28800}
 JSONL=${JSONL:-docs/runs/train_protocol_r5.jsonl}
 LOG=${LOG:-docs/runs/train_protocol_r5.log}
 
-# device must be free AND healthy before a multi-hour run
-python - <<'EOF'
-import jax, jax.numpy as jnp
-assert float(jnp.ones(()) * 2) == 2.0
-print("device ok:", jax.devices()[0].device_kind)
-EOF
+# NB: no separate device-health-check process — on the axon pool every
+# process transition pays a device-claim handoff (observed 10-25 min);
+# the trainer's own first op is the health check.
 
 timeout "$TIMEOUT" python tools/train_synthetic.py \
     --steps "$STEPS" --stages 4 --base_dim 88 --img 480 640 --n_src 4 \
