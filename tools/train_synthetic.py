@@ -256,10 +256,26 @@ def main():
     chamfer_track = []
     step_times = []
     logf = open(args.log_jsonl, "a") if args.log_jsonl else None
+    # Pre-transfer every distinct batch to the device BEFORE the first step.
+    # Mid-training host->device transfers allocate fresh buffers in the
+    # middle of the post-step heap; at the 704^3 protocol the backward's
+    # multi-GB contiguous transients then no longer fit (step 1
+    # RESOURCE_EXHAUSTED even with fully serialized steps, while
+    # train_step_hw.py — one persistent device batch — runs fine).
+    # Long-lived buffers belong at the heap base, allocated up front.
+    dev_batches = None
+    if len(ds) <= 32:
+        dev_batches = [
+            {k: jnp.asarray(v) for k, v in ds[i].items()
+             if not isinstance(v, str)} for i in range(len(ds))]
+        jax.block_until_ready(dev_batches[-1]["imgs"])
     for step in range(args.steps):
-        batch_np = ds[step % len(ds)]
-        batch = {k: jnp.asarray(v) for k, v in batch_np.items()
-                 if not isinstance(v, str)}
+        if dev_batches is not None:
+            batch = dev_batches[step % len(ds)]
+        else:
+            batch_np = ds[step % len(ds)]
+            batch = {k: jnp.asarray(v) for k, v in batch_np.items()
+                     if not isinstance(v, str)}
         key, k = jax.random.split(key)
         t_step = time.time()
         params, state, opt_state, res = train_step(
