@@ -408,8 +408,22 @@ def value_and_grad_staged(params, state, static, loss_cfg, batch, key,
     frozen_loss = surf._freeze(loss_cfg)
     dp = mesh is not None
     prof = os.environ.get("SURF_STAGED_PROFILE", "0") != "0"
+    # Serialize graph DISPATCH within the step (default on).  PJRT
+    # allocates a computation's output buffers at dispatch; enqueueing all
+    # ~2+2*num_stage graphs back-to-back makes every graph's outputs (and
+    # every donated-but-not-yet-consumed input) resident at once.  Step 0
+    # never sees this — its first execution of each graph compiles inline,
+    # which serializes dispatch naturally — so the failure signature is
+    # "step 0 fine, step 1 RESOURCE_EXHAUSTED" at the 704^3 protocol
+    # (r4 + three r5 repros; a profiled run, whose per-graph timing sync
+    # serializes dispatch the same way, completes at 34.3 s/step with the
+    # per-graph sums equal to the step time — the pipelining this gives up
+    # was never there to win).
+    serialize = prof or os.environ.get("SURF_STAGED_SERIALIZE", "1") != "0"
 
     def tick(label, out):
+        if serialize and not prof:
+            jax.block_until_ready(out)
         if prof:
             jax.block_until_ready(out)
             t = time.time()
