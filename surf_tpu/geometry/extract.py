@@ -32,9 +32,12 @@ def extract_geometry(sdf_fn, params, stages, resolution, block=64, occ=None,
     ``ray_mesh``: optional 1-D jax mesh — the lattice points of each group
     are sharding-constrained across its devices so XLA SPMD splits the SDF
     evaluation (the point axis is embarrassingly parallel; SURVEY §5)."""
+    import os
     R = int(resolution)
     B = int(block)
-    G = int(blocks_per_call)
+    # more blocks per dispatch amortizes per-call tunnel overhead at the
+    # cost of G*B^3-point transients in sdf_fn (PERF_NOTES round-5 #4)
+    G = int(os.environ.get("SURF_MESH_BLOCKS_PER_CALL", blocks_per_call))
     nb = -(-R // B)
     blocks = occupied_blocks_host(stages, R, B)
 
@@ -87,8 +90,12 @@ def extract_geometry(sdf_fn, params, stages, resolution, block=64, occ=None,
         pending.append((group, eval_group(params, stages, occ,
                                           jnp.asarray(origins))))
 
-    for group, vals_dev in pending:
-        vals = np.asarray(vals_dev).reshape(G, B, B, B)
+    # ONE batched D2H for all groups: per-array np.asarray pays the
+    # remote-tunnel round-trip latency per call; device_get on the whole
+    # list coalesces the transfers (PERF_NOTES round-5 #4)
+    all_vals = jax.device_get([v for _, v in pending])
+    for (group, _), vals in zip(pending, all_vals):
+        vals = vals.reshape(G, B, B, B)
         for i, b in enumerate(group):
             sx, sy, sz = block_slices(b)
             ex, ey, ez = (sx.stop - sx.start, sy.stop - sy.start,
