@@ -321,12 +321,11 @@ def main():
                   flush=True)
         if args.eval_every and (step + 1) % args.eval_every == 0 \
                 and step != args.steps - 1:
-            out = extract_and_eval(params, state, step + 1)
-            if out is not None:
-                chamfer_track.append((step + 1, out[2]))
             if args.save_ckpt:
-                # periodic save so a wall-clock-bounded run still hands a
-                # usable checkpoint to the finetune stage
+                # save BEFORE the eval: a failed eval must not cost the
+                # run's checkpoint (periodic save also means a
+                # wall-clock-bounded run still hands a usable checkpoint
+                # to the finetune stage)
                 from surf_tpu.utils import save_checkpoint
                 save_checkpoint(args.save_ckpt, {
                     "epoch": step + 1,
@@ -335,6 +334,17 @@ def main():
                 })
                 print(f"checkpoint @{step + 1} -> {args.save_ckpt}",
                       flush=True)
+            try:
+                out = extract_and_eval(params, state, step + 1)
+                if out is not None:
+                    chamfer_track.append((step + 1, out[2]))
+            except Exception as e:  # noqa: BLE001 — a transient tunnel /
+                # compile failure in the OPTIONAL eval must never kill a
+                # multi-hour training run (a remote_compile HTTP error
+                # did exactly that at step 100 of the first completing
+                # r5 protocol attempt)
+                print(f"[eval @{step + 1}] FAILED ({type(e).__name__}): "
+                      f"{e} — continuing training", flush=True)
     steps_done = max(args.steps - 1, 1)
     print(f"steady: {(time.time() - t0) / steps_done:.3f}s/step")
     if len(step_times) > 1:
